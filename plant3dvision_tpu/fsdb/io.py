@@ -1,0 +1,152 @@
+"""Payload codecs for fsdb Files.
+
+Mirrors the reference `plantdb.io` surface used across plant3dvision
+(tasks/evaluation.py:20-28): read/write_{image,json,npz,volume,point_cloud,
+triangle_mesh,graph,toml}, plus `to_file`.
+"""
+
+from __future__ import annotations
+
+import json
+import pickle
+import shutil
+from io import BytesIO
+from pathlib import Path
+
+import numpy as np
+
+from . import ply as plyio
+from .db import File
+
+
+# -- images ------------------------------------------------------------
+
+def read_image(file: File) -> np.ndarray:
+    import imageio.v2 as iio
+    return np.asarray(iio.imread(file.path()))
+
+
+def write_image(file: File, image: np.ndarray, ext: str = "png") -> None:
+    import imageio.v2 as iio
+    ext = ext.lstrip(".")
+    buf = BytesIO()
+    image = np.asarray(image)
+    if image.dtype in (np.float32, np.float64):
+        image = np.clip(image * 255.0 if image.max() <= 1.0 else image, 0, 255).astype(np.uint8)
+    iio.imwrite(buf, image, format=ext if ext != "jpg" else "jpeg")
+    file.write_raw(buf.getvalue(), ext)
+
+
+# -- json / toml -------------------------------------------------------
+
+def read_json(file: File):
+    with open(file.path()) as f:
+        return json.load(f)
+
+
+def write_json(file: File, data, ext: str = "json") -> None:
+    from .db import _json_default
+    file.write_raw(json.dumps(data, indent=4, default=_json_default).encode(), ext)
+
+
+def read_toml(file: File):
+    import tomllib
+    with open(file.path(), "rb") as f:
+        return tomllib.load(f)
+
+
+def write_toml(file: File, data) -> None:
+    file.write_raw(_toml_dumps(data).encode(), "toml")
+
+
+def _toml_dumps(data, prefix=""):
+    """Tiny TOML writer (tables of scalars/lists/nested dicts)."""
+    lines, tables = [], []
+    for k, v in data.items():
+        if isinstance(v, dict):
+            tables.append((f"{prefix}{k}" if not prefix else f"{prefix}.{k}", v))
+        else:
+            lines.append(f"{k} = {_toml_value(v)}")
+    out = "\n".join(lines)
+    for name, tbl in tables:
+        out += f"\n\n[{name}]\n" + _toml_dumps(tbl, name).lstrip()
+    return out.strip() + "\n"
+
+
+def _toml_value(v):
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return json.dumps(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_toml_value(x) for x in v) + "]"
+    return str(v)
+
+
+# -- arrays / volumes ---------------------------------------------------
+
+def read_npz(file: File) -> dict:
+    return dict(np.load(file.path(), allow_pickle=False))
+
+
+def write_npz(file: File, data: dict) -> None:
+    buf = BytesIO()
+    np.savez_compressed(buf, **data)
+    file.write_raw(buf.getvalue(), "npz")
+
+
+def read_volume(file: File) -> np.ndarray:
+    data = np.load(file.path(), allow_pickle=False)
+    if hasattr(data, "files"):  # npz
+        key = "volume" if "volume" in data.files else data.files[0]
+        return data[key]
+    return data
+
+
+def write_volume(file: File, volume: np.ndarray) -> None:
+    buf = BytesIO()
+    np.savez_compressed(buf, volume=volume)
+    file.write_raw(buf.getvalue(), "npz")
+
+
+# -- geometry ------------------------------------------------------------
+
+def read_point_cloud(file: File):
+    return plyio.read_ply(file.path())
+
+
+def write_point_cloud(file: File, pcd, ext: str = "ply") -> None:
+    file.filename = f"{file.id}.{ext}"
+    file.fileset.path().mkdir(parents=True, exist_ok=True)
+    plyio.write_ply(file.path(), pcd)
+    file.scan.store()
+
+
+def read_triangle_mesh(file: File):
+    return plyio.read_ply(file.path())
+
+
+def write_triangle_mesh(file: File, mesh, ext: str = "ply") -> None:
+    write_point_cloud(file, mesh, ext)
+
+
+# -- graphs --------------------------------------------------------------
+
+def read_graph(file: File):
+    with open(file.path(), "rb") as f:
+        return pickle.load(f)
+
+
+def write_graph(file: File, graph, ext: str = "p") -> None:
+    file.write_raw(pickle.dumps(graph), ext)
+
+
+# -- raw -----------------------------------------------------------------
+
+def to_file(file: File, dst_path) -> None:
+    """Copy a File payload out of the DB to an external path."""
+    shutil.copyfile(file.path(), Path(dst_path))
+
+
+def from_file(file: File, src_path) -> None:
+    file.import_file(src_path)

@@ -1,0 +1,57 @@
+"""`romi_run_task`-compatible CLI (reference README.md:287-288):
+
+    romi_run_task <TaskName> <dataset_path> --config <config.toml>
+
+The dataset path is <db_root>/<scan_id>; the db root must contain the
+`romidb` marker file.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+from .config import RunContext
+from .log import configure_logger
+from .runner import run_task
+
+logger = configure_logger("romi_run_task")
+
+
+def parse_dataset(dataset: str):
+    """Split <db>/<scan> — also honors ROMI_DB env (reference README.md:225)."""
+    p = Path(dataset).expanduser()
+    if (p.parent / "romidb").exists():
+        return p.parent, p.name
+    romi_db = os.environ.get("ROMI_DB")
+    if romi_db and (Path(romi_db) / "romidb").exists():
+        return Path(romi_db), str(dataset)
+    raise SystemExit(f"Cannot locate a DB (romidb marker) for dataset: {dataset}")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="romi_run_task",
+        description="Run a plant3dvision_tpu pipeline task on a dataset.")
+    ap.add_argument("task", help="Task name (e.g. AnglesAndInternodes)")
+    ap.add_argument("dataset", help="Path to the dataset: <db>/<scan_id>")
+    ap.add_argument("--config", default=None, help="TOML pipeline config")
+    ap.add_argument("--log-level", default="INFO")
+    args = ap.parse_args(argv)
+
+    # Importing tasks registers them all.
+    from .. import tasks  # noqa: F401
+
+    db_path, scan_id = parse_dataset(args.dataset)
+    ctx = RunContext.from_paths(db_path, scan_id, args.config)
+    try:
+        run_task(ctx, args.task)
+    finally:
+        ctx.db.disconnect()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

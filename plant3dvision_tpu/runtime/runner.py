@@ -1,0 +1,90 @@
+"""DAG runner: topological execution with retry + per-task wall-time report.
+
+Replaces luigi.build (reference README.md:287-288). Observability: every run
+produces a per-task timing table (aux subsystem called out in SURVEY.md §5 as
+missing from the reference — added here as a first-class feature).
+"""
+
+from __future__ import annotations
+
+import time
+
+from .log import configure_logger
+from .task import BaseTask, RetryableTaskError
+
+logger = configure_logger(__name__)
+
+
+class TaskFailure(Exception):
+    pass
+
+
+def _collect(task: BaseTask, order: list, seen: set):
+    key = task.get_task_family()
+    if key in seen:
+        return
+    seen.add(key)
+    req = task.requires()
+    deps = list(req.values()) if isinstance(req, dict) else (
+        list(req) if isinstance(req, (list, tuple)) else [req])
+    for dep in deps:
+        if dep is not None:
+            _collect(dep, order, seen)
+    order.append(task)
+
+
+def run_task(ctx, task_name_or_cls, report=True) -> dict:
+    """Resolve and run the dependency closure of a task bottom-up.
+
+    Returns a report dict: {task_name: {"status", "seconds", "fileset"}}.
+    """
+    root = ctx.get_task(task_name_or_cls)
+    order: list[BaseTask] = []
+    _collect(root, order, set())
+
+    results = {}
+    for task in order:
+        name = task.get_task_family()
+        if task.complete():
+            logger.info(f"{name}: already complete, skipping")
+            results[name] = {"status": "skipped", "seconds": 0.0}
+            continue
+        t0 = time.monotonic()
+        attempts = 1 + getattr(task, "retry_count", 0)
+        last_err = None
+        status = "failed"
+        for attempt in range(attempts):
+            try:
+                if attempt:
+                    logger.warning(f"{name}: retry {attempt}/{attempts - 1}")
+                task.run()
+                if hasattr(task, "finalize"):
+                    task.finalize()
+                status = "done"
+                last_err = None
+                break
+            except RetryableTaskError as e:
+                last_err = e
+                continue
+            except Exception as e:
+                last_err = e
+                break
+        dt = time.monotonic() - t0
+        out = task.output()
+        results[name] = {
+            "status": status,
+            "seconds": round(dt, 3),
+            "fileset": getattr(out, "fileset_id", None),
+        }
+        if last_err is not None:
+            raise TaskFailure(f"Task {name} failed after {attempts} attempts") from last_err
+        if status != "done":
+            raise TaskFailure(f"Task {name} failed")
+        logger.info(f"{name}: done in {dt:.2f}s")
+
+    if report:
+        width = max((len(k) for k in results), default=10)
+        logger.info("--- task timing report ---")
+        for k, v in results.items():
+            logger.info(f"{k:<{width}}  {v['status']:<8} {v['seconds']:>8.2f}s")
+    return results

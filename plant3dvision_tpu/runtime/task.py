@@ -1,0 +1,364 @@
+"""Task base classes.
+
+Semantics mirror the reference's romitask/luigi runtime (SURVEY.md L1):
+
+- a task's output is a Fileset named ``{TaskName}_{slug}_{hash}`` where the
+  hash is a deterministic digest of the task's significant parameters
+  (observed reference naming, e.g. ``TreeGraph__False_CurveSkeleton_c304a2cc71``);
+- a task is *complete* iff its target fileset exists and is non-empty;
+- the DAG is config-defined: ``upstream_task`` (and friends) are themselves
+  parameters holding task names;
+- ``Clean`` wipes derived filesets; marker tasks assert existing inputs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import time
+
+from .log import configure_logger
+
+logger = configure_logger(__name__)
+
+
+class RetryableTaskError(Exception):
+    """Raised by a task run() to request a retry (reference: the Colmap task's
+    'blind angle' pose-failure check, tasks/colmap.py:810-834)."""
+
+
+class Parameter:
+    """Class-level declaration of a configurable task parameter."""
+
+    _counter = 0
+
+    def __init__(self, default=None, significant=True):
+        self.default = default
+        self.significant = significant
+        self.name = None
+        Parameter._counter += 1
+        self.order = Parameter._counter
+
+    def __set_name__(self, owner, name):
+        self.name = name
+
+
+class TaskRegistry:
+    _registry: dict[str, type] = {}
+
+    @classmethod
+    def register(cls, task_cls):
+        cls._registry[task_cls.__name__] = task_cls
+
+    @classmethod
+    def get(cls, name: str) -> type:
+        if name not in cls._registry:
+            raise KeyError(f"Unknown task: {name!r}. Known: {sorted(cls._registry)}")
+        return cls._registry[name]
+
+    @classmethod
+    def known(cls):
+        return sorted(cls._registry)
+
+
+class _TaskMeta(type):
+    def __new__(mcs, name, bases, ns):
+        cls = super().__new__(mcs, name, bases, ns)
+        params = {}
+        for base in reversed(cls.__mro__):
+            for k, v in vars(base).items():
+                if isinstance(v, Parameter):
+                    params[k] = v
+        cls._params = params
+        if name not in ("BaseTask",):
+            TaskRegistry.register(cls)
+        return cls
+
+
+class BaseTask(metaclass=_TaskMeta):
+    retry_count = 0
+
+    def __init__(self, ctx, **kwargs):
+        self.ctx = ctx
+        cfg = ctx.task_config(type(self).__name__) if ctx is not None else {}
+        for pname, param in self._params.items():
+            if pname in kwargs:
+                val = kwargs[pname]
+            elif pname in cfg:
+                val = cfg[pname]
+            else:
+                val = param.default
+            setattr(self, pname, val)
+
+    # -- identity ------------------------------------------------------
+    def get_task_family(self) -> str:
+        return type(self).__name__
+
+    def significant_params(self) -> dict:
+        out = {}
+        for pname, param in sorted(self._params.items()):
+            if param.significant:
+                out[pname] = getattr(self, pname)
+        return out
+
+    def task_id(self) -> str:
+        """``{TaskName}_{slug}_{hash10}`` (same scheme as luigi task ids,
+        which name the reference's output filesets)."""
+        name = self.get_task_family()
+        params = self.significant_params()
+        blob = repr(sorted((k, repr(v)) for k, v in params.items()))
+        digest = hashlib.md5((name + blob).encode()).hexdigest()[:10]
+        ordered = sorted(self._params.items(), key=lambda kv: kv[1].order)
+        parts = []
+        for pname, param in ordered:
+            if not param.significant or len(parts) >= 3:
+                continue
+            parts.append(re.sub(r"[^A-Za-z0-9_]", "_", str(getattr(self, pname)))[:16])
+        slug = "_".join(parts)
+        return f"{name}_{slug}_{digest}" if slug else f"{name}_{digest}"
+
+    # -- DAG -----------------------------------------------------------
+    def requires(self):
+        return []
+
+    def input(self):
+        req = self.requires()
+        if isinstance(req, dict):
+            return {k: t.output() for k, t in req.items()}
+        if isinstance(req, (list, tuple)):
+            outs = [t.output() for t in req]
+            return outs[0] if len(outs) == 1 else outs
+        return req.output()
+
+    def output(self):
+        raise NotImplementedError
+
+    def complete(self) -> bool:
+        out = self.output()
+        if out is None:
+            return True
+        return out.exists()
+
+    def run(self):
+        raise NotImplementedError
+
+    def _upstream(self, name_attr="upstream_task"):
+        return self.ctx.get_task(getattr(self, name_attr))
+
+
+class FilesetTarget:
+    """Completeness target: fileset exists and is non-empty
+    (reference semantics: tests/unit/test_task.py:50-58)."""
+
+    def __init__(self, scan, fileset_id: str):
+        self.scan = scan
+        self.fileset_id = fileset_id
+
+    def get(self, create=True):
+        fs = self.scan.get_fileset(self.fileset_id, create=create)
+        return fs
+
+    def exists(self) -> bool:
+        fs = self.scan.get_fileset(self.fileset_id)
+        return fs is not None and len(fs.get_files()) > 0
+
+
+class RomiTask(BaseTask):
+    """A pipeline task whose output is a param-hashed fileset."""
+
+    upstream_task = Parameter(default="ImagesFilesetExists")
+    scan_id = Parameter(default="", significant=False)
+
+    def requires(self):
+        return [self._upstream()]
+
+    def output(self) -> FilesetTarget:
+        return FilesetTarget(self.ctx.scan, self.task_id())
+
+    def input_file(self, file_id=None):
+        """Single input file of the upstream output fileset."""
+        inp = self.input()
+        if isinstance(inp, (list, tuple)):
+            inp = inp[0]
+        fs = inp.get(create=False)
+        if fs is None:
+            raise FileNotFoundError(f"Upstream fileset missing for {self.get_task_family()}")
+        if file_id is not None:
+            return fs.get_file(file_id)
+        files = fs.get_files()
+        if len(files) != 1:
+            # Prefer the conventional single-output id (task family of upstream)
+            for f in files:
+                if f.id == fs.id.split("_")[0] or f.id == "out":
+                    return f
+            if not files:
+                raise FileNotFoundError(f"No file in upstream fileset {fs.id}")
+        return files[0]
+
+    def output_file(self, file_id=None, create=True):
+        if file_id is None:
+            file_id = self.get_task_family()
+        fs = self.output().get()
+        return fs.get_file(file_id, create=create)
+
+    def finalize(self):
+        """Record task params on the output fileset (reference writes
+        'task_params' metadata on outputs)."""
+        out = self.output()
+        if out is not None and isinstance(out, FilesetTarget):
+            fs = self.ctx.scan.get_fileset(out.fileset_id)
+            if fs is not None:
+                params = {k: _jsonable(v) for k, v in self.significant_params().items()}
+                fs.set_metadata("task_params", params)
+
+
+def _jsonable(v):
+    import numpy as np
+    if isinstance(v, np.ndarray):
+        return v.tolist()
+    if isinstance(v, np.generic):
+        return v.item()
+    if isinstance(v, dict):
+        return {k: _jsonable(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_jsonable(x) for x in v]
+    return v
+
+
+class FileByFileTask(RomiTask):
+    """Maps ``f(input_file, output_fileset)`` over each upstream file
+    matching `query`, copying file metadata to outputs
+    (reference: Undistorted/Masks, tasks/proc2d.py)."""
+
+    query = Parameter(default={})
+
+    def f(self, fin, outfs):
+        """Process one input File; return the output File (or None to skip)."""
+        raise NotImplementedError
+
+    def run(self):
+        inp = self.input()
+        if isinstance(inp, (list, tuple)):
+            inp = inp[0]
+        infs = inp.get(create=False)
+        outfs = self.output().get()
+        files = infs.get_files(query=self.query or None)
+        logger.info(f"{self.get_task_family()}: processing {len(files)} files")
+        for fin in files:
+            fout = self.f(fin, outfs)
+            if fout is not None:
+                md = fin.get_metadata()
+                out_md = fout.get_metadata()
+                md.update(out_md)  # keep anything f() already set
+                fout.set_metadata(md)
+
+
+# -- marker / utility tasks ---------------------------------------------
+
+class FilesetExists(BaseTask):
+    """Asserts a fileset already exists (no run)."""
+
+    fileset_id = None
+
+    def output(self):
+        return FilesetTarget(self.ctx.scan, self.fileset_id)
+
+    def run(self):
+        if not self.output().exists():
+            raise FileNotFoundError(
+                f"Required fileset '{self.fileset_id}' missing in scan "
+                f"'{self.ctx.scan.id}'")
+
+    def complete(self):
+        return self.output().exists()
+
+
+class ImagesFilesetExists(FilesetExists):
+    fileset_id = "images"
+
+
+class ModelFilesetExists(FilesetExists):
+    """CNN model fileset; may live in a different scan (reference:
+    tasks/proc2d.py:336 reads the model from a 'models' scan)."""
+
+    fileset_id = "models"
+    scan_id = Parameter(default="", significant=False)
+
+    def output(self):
+        scan = self.ctx.scan
+        if self.scan_id:
+            scan = self.ctx.db.get_scan(self.scan_id) or scan
+        return FilesetTarget(scan, self.fileset_id)
+
+
+class DatasetExists(BaseTask):
+    scan_id = Parameter(default="")
+
+    def output(self):
+        return None
+
+    def complete(self):
+        return self.ctx.db.get_scan(self.scan_id or self.ctx.scan.id) is not None
+
+    def run(self):
+        if not self.complete():
+            raise FileNotFoundError(f"Dataset not found: {self.scan_id}")
+
+
+class VirtualPlantObj(FilesetExists):
+    """Located by prefix: virtual scans ship a 'VirtualPlant*' fileset with
+    the ground-truth OBJ + angle metadata (reference testdata/virtual_plant)."""
+
+    fileset_id = "VirtualPlant"
+
+    def output(self):
+        for fs_id in self.ctx.scan.list_filesets():
+            if fs_id.startswith(self.fileset_id):
+                return FilesetTarget(self.ctx.scan, fs_id)
+        return FilesetTarget(self.ctx.scan, self.fileset_id)
+
+
+class DummyTask(BaseTask):
+    """Placeholder upstream (e.g. upstream_colmap='DummyTask' in
+    geom_pipe_virtual.toml when poses come from exact metadata)."""
+
+    def output(self):
+        return None
+
+    def complete(self):
+        return True
+
+    def run(self):
+        pass
+
+
+_PROTECTED_FILESETS = ("images", "models", "calibration")
+
+
+class Clean(BaseTask):
+    """Removes derived (task-output) filesets from the scan, keeping raw
+    inputs (reference: Clean task, configs/geom_pipe_real.toml:77-78)."""
+
+    no_confirm = Parameter(default=False)
+    keep = Parameter(default=list(_PROTECTED_FILESETS))
+
+    def output(self):
+        return None
+
+    def complete(self):
+        return False
+
+    def run(self):
+        scan = self.ctx.scan
+        victims = [fs_id for fs_id in scan.list_filesets()
+                   if fs_id not in self.keep
+                   and not fs_id.startswith("VirtualPlant")]
+        if not victims:
+            return
+        if not self.no_confirm:
+            from ..utils import yes_no_choice
+            if not yes_no_choice(f"Delete filesets {victims} from scan '{scan.id}'?"):
+                return
+        for fs_id in victims:
+            logger.info(f"Clean: deleting fileset {fs_id}")
+            scan.delete_fileset(fs_id)

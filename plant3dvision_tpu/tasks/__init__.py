@@ -1,0 +1,13 @@
+"""Pipeline tasks (L4). Importing this package registers every task with the
+runtime's TaskRegistry — the CLI relies on that."""
+
+# Base/marker/utility tasks come with the runtime:
+from ..runtime.task import (  # noqa: F401
+    Clean,
+    DatasetExists,
+    DummyTask,
+    FilesetExists,
+    ImagesFilesetExists,
+    ModelFilesetExists,
+    VirtualPlantObj,
+)

@@ -1,0 +1,170 @@
+"""Task runtime tests: DAG execution, fileset targets, param hashing,
+config binding — the romitask-semantics harness (reference
+tests/unit/test_task.py)."""
+
+import pytest
+
+from plant3dvision_tpu.runtime import (
+    Clean,
+    FileByFileTask,
+    FilesetTarget,
+    ImagesFilesetExists,
+    Parameter,
+    RomiTask,
+    RunContext,
+    run_task,
+)
+from plant3dvision_tpu.runtime.runner import TaskFailure
+from plant3dvision_tpu.runtime.task import RetryableTaskError
+
+
+class TouchFileTask(RomiTask):
+    """Writes a single file into its output fileset."""
+    upstream_task = Parameter(default="ImagesFilesetExists")
+
+    def requires(self):
+        return []
+
+    def run(self):
+        f = self.output_file("hello")
+        f.write_raw(b"hello", "txt")
+
+
+class IdentityTask(FileByFileTask):
+    upstream_task = Parameter(default="TouchFileTask")
+
+    def f(self, fin, outfs):
+        fout = outfs.get_file(fin.id, create=True)
+        fout.write_raw(fin.read_raw(), "txt")
+        return fout
+
+
+class FlakyTask(RomiTask):
+    retry_count = 3
+    attempts = 0
+
+    def requires(self):
+        return []
+
+    def run(self):
+        FlakyTask.attempts += 1
+        if FlakyTask.attempts < 3:
+            raise RetryableTaskError("try again")
+        self.output_file("done").write_raw(b"ok", "txt")
+
+
+class AlwaysFails(RomiTask):
+    def requires(self):
+        return []
+
+    def run(self):
+        raise RuntimeError("boom")
+
+
+@pytest.fixture()
+def ctx(temp_db):
+    scan = temp_db.create_scan("testscan")
+    images = scan.create_fileset("images")
+    f = images.create_file("00000_rgb")
+    f.write_raw(b"fake-image", "jpg")
+    f.set_metadata("channel", "rgb")
+    return RunContext(temp_db, "testscan", config={})
+
+
+def test_fileset_target_exists(ctx):
+    assert FilesetTarget(ctx.scan, "images").exists()
+    assert not FilesetTarget(ctx.scan, "nope").exists()
+    # empty fileset is not complete
+    ctx.scan.create_fileset("empty")
+    assert not FilesetTarget(ctx.scan, "empty").exists()
+
+
+def test_marker_task(ctx):
+    t = ctx.get_task(ImagesFilesetExists)
+    assert t.complete()
+
+
+def test_touch_task_creates_hashed_fileset(ctx):
+    report = run_task(ctx, TouchFileTask, report=False)
+    assert report["TouchFileTask"]["status"] == "done"
+    fs_id = report["TouchFileTask"]["fileset"]
+    assert fs_id.startswith("TouchFileTask_")
+    fs = ctx.scan.get_fileset(fs_id)
+    assert fs.get_file("hello").read_raw() == b"hello"
+    # deterministic id
+    t = ctx.get_task(TouchFileTask)
+    assert t.task_id() == fs_id
+    # second run: skipped
+    report2 = run_task(ctx, TouchFileTask, report=False)
+    assert report2["TouchFileTask"]["status"] == "skipped"
+    # task_params recorded on the output fileset
+    assert "upstream_task" in fs.get_metadata("task_params")
+
+
+def test_param_hash_changes_with_config(temp_db):
+    scan = temp_db.create_scan("s2")
+    scan.create_fileset("images")
+    ctx1 = RunContext(temp_db, "s2", config={})
+    ctx2 = RunContext(temp_db, "s2", config={"TouchFileTask": {"upstream_task": "DummyTask"}})
+    id1 = ctx1.get_task(TouchFileTask).task_id()
+    id2 = ctx2.get_task(TouchFileTask).task_id()
+    assert id1 != id2
+
+
+def test_file_by_file_task_copies_metadata(ctx):
+    run_task(ctx, IdentityTask, report=False)
+    t = ctx.get_task(IdentityTask)
+    fs = ctx.scan.get_fileset(t.task_id())
+    files = fs.get_files()
+    assert len(files) == 1
+    assert files[0].read_raw() == b"hello"
+
+
+def test_retry(ctx):
+    FlakyTask.attempts = 0
+    report = run_task(ctx, FlakyTask, report=False)
+    assert report["FlakyTask"]["status"] == "done"
+    assert FlakyTask.attempts == 3
+
+
+def test_failure_propagates(ctx):
+    with pytest.raises(TaskFailure):
+        run_task(ctx, AlwaysFails, report=False)
+
+
+def test_clean(ctx):
+    run_task(ctx, TouchFileTask, report=False)
+    assert any(f.startswith("TouchFileTask") for f in ctx.scan.list_filesets())
+    clean = Clean(ctx=ctx, no_confirm=True)
+    clean.run()
+    assert ctx.scan.list_filesets() == ["images"]
+
+
+def test_config_json_string_decoding(temp_db):
+    temp_db.create_scan("s3").create_fileset("images")
+    ctx = RunContext(temp_db, "s3",
+                     config={"IdentityTask": {"query": '{"channel": "rgb"}'}})
+    t = ctx.get_task(IdentityTask)
+    assert t.query == {"channel": "rgb"}
+
+
+def test_cli_parse_dataset(temp_db):
+    from plant3dvision_tpu.runtime.cli import parse_dataset
+    temp_db.create_scan("myscan")
+    db_path, scan_id = parse_dataset(str(temp_db.path() / "myscan"))
+    assert scan_id == "myscan"
+    assert db_path == temp_db.path()
+
+
+def test_watcher(temp_db):
+    import time
+    from plant3dvision_tpu.runtime.watch import FSDBWatcher
+    seen = []
+    w = FSDBWatcher(temp_db, seen.append, poll_interval=0.05)
+    w.start()
+    temp_db.create_scan("newscan")
+    deadline = time.time() + 3
+    while not seen and time.time() < deadline:
+        time.sleep(0.05)
+    w.stop()
+    assert seen == ["newscan"]
