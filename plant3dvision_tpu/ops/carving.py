@@ -1,0 +1,234 @@
+"""Space carving (volume back-projection) on TPU.
+
+Replaces the reference's OpenCL kernels + host loop (cl.py:118-310,
+kernels/backprojection.c): one kernel launch per view over prod(shape) work
+items becomes a SINGLE jitted XLA program that scans all views over the
+HBM-resident grid — no host round-trips, no per-view launches.
+
+Semantics matched to kernels/backprojection.c:
+- carve: a voxel is killed if ANY view projects it in-frustum onto a zero
+  mask pixel (nearest sampling, truncating int cast, z>0 test, border
+  inclusive 0..W-1/0..H-1); it is 'seen' if any in-frustum view hits a
+  nonzero pixel. Output int8: -1 killed / 1 seen / 0 never observed.
+- average: accumulates the sampled mask value over in-frustum views
+  (reference samples with OpenCL LINEAR at integer coords — a half-texel
+  box filter; we sample true bilinear at the continuous projection, which
+  is strictly more accurate).
+
+The grid coordinates are never materialized: XLA fuses the three broadcast
+iota axes into the projection arithmetic, so per view the work is ~10 fused
+VPU ops + one gather over the grid.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+EPS = 1e-9
+
+
+def _project(view_params, origin, voxel_size, shape, W, H):
+    """Per-view projected integer pixel coords + in-frustum mask.
+
+    view_params: (16,) = [fx, fy, cx, cy, r00..r22, t0, t1, t2]
+    Returns (pxi, pyi, in_img) with shapes == `shape`.
+    """
+    nx, ny, nz = shape
+    fx, fy, cx, cy = view_params[0], view_params[1], view_params[2], view_params[3]
+    r = view_params[4:13]
+    t = view_params[13:16]
+    x = origin[0] + voxel_size * jax.lax.broadcasted_iota(jnp.float32, shape, 0)
+    y = origin[1] + voxel_size * jax.lax.broadcasted_iota(jnp.float32, shape, 1)
+    z = origin[2] + voxel_size * jax.lax.broadcasted_iota(jnp.float32, shape, 2)
+    pz = r[6] * x + r[7] * y + r[8] * z + t[2]
+    px = (r[0] * x + r[1] * y + r[2] * z + t[0]) / pz * fx + cx
+    py = (r[3] * x + r[4] * y + r[5] * z + t[1]) / pz * fy + cy
+    # truncating cast toward zero, as the OpenCL (int) cast does
+    pxi = px.astype(jnp.int32)
+    pyi = py.astype(jnp.int32)
+    in_img = (pz > 0) & (pxi >= 0) & (pxi <= W - 1) & (pyi >= 0) & (pyi <= H - 1)
+    return px, py, pxi, pyi, in_img
+
+
+@functools.partial(jax.jit, static_argnames=("shape",))
+def carve(masks, cameras, valid, origin, voxel_size, shape):
+    """Carve a voxel grid from binary masks.
+
+    Parameters
+    ----------
+    masks : (V, H, W) uint8/bool/float — nonzero = plant.
+    cameras : (V, 16) float32 — [fx,fy,cx,cy, rotmat(9) row-major, tvec(3)].
+    valid : (V,) bool — allows padded static view batches.
+    origin : (3,) float32; voxel_size : float; shape : static (nx,ny,nz).
+
+    Returns int8 volume: -1 killed / 1 seen / 0 unobserved.
+    """
+    V, H, W = masks.shape
+    origin = jnp.asarray(origin, jnp.float32)
+    voxel_size = jnp.float32(voxel_size)
+    masks_flat = (masks.reshape(V, H * W) != 0)
+
+    def body(carry, inputs):
+        killed, seen = carry
+        mask_flat, cam, ok = inputs
+        _, _, pxi, pyi, in_img = _project(cam, origin, voxel_size, shape, W, H)
+        lin = jnp.clip(pyi, 0, H - 1) * W + jnp.clip(pxi, 0, W - 1)
+        hit = jnp.take(mask_flat, lin.reshape(-1), axis=0).reshape(shape)
+        in_img = jnp.logical_and(in_img, ok)
+        killed = killed | (in_img & ~hit)
+        seen = seen | (in_img & hit)
+        return (killed, seen), None
+
+    killed0 = jnp.zeros(shape, dtype=bool)
+    seen0 = jnp.zeros(shape, dtype=bool)
+    (killed, seen), _ = jax.lax.scan(body, (killed0, seen0), (masks_flat, cameras, valid))
+    return jnp.where(killed, jnp.int8(-1), jnp.where(seen, jnp.int8(1), jnp.int8(0)))
+
+
+@functools.partial(jax.jit, static_argnames=("shape",))
+def average(masks, cameras, valid, origin, voxel_size, shape):
+    """Accumulate bilinearly sampled mask values over all in-frustum views.
+
+    masks: (V, H, W) float32 (already log-transformed by the caller if the
+    reference 'log' mode is on). Returns float32 volume.
+    """
+    V, H, W = masks.shape
+    origin = jnp.asarray(origin, jnp.float32)
+    voxel_size = jnp.float32(voxel_size)
+    masks_flat = masks.reshape(V, H * W).astype(jnp.float32)
+
+    def body(acc, inputs):
+        mask_flat, cam, ok = inputs
+        px, py, pxi, pyi, in_img = _project(cam, origin, voxel_size, shape, W, H)
+        x0 = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, W - 2)
+        y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, H - 2)
+        fx = jnp.clip(px - x0.astype(jnp.float32), 0.0, 1.0)
+        fy = jnp.clip(py - y0.astype(jnp.float32), 0.0, 1.0)
+
+        def g(yy, xx):
+            return jnp.take(mask_flat, (yy * W + xx).reshape(-1), axis=0).reshape(shape)
+
+        val = (g(y0, x0) * (1 - fx) * (1 - fy) + g(y0, x0 + 1) * fx * (1 - fy)
+               + g(y0 + 1, x0) * (1 - fx) * fy + g(y0 + 1, x0 + 1) * fx * fy)
+        in_img = jnp.logical_and(in_img, ok)
+        return acc + jnp.where(in_img, val, 0.0), None
+
+    acc0 = jnp.zeros(shape, dtype=jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0, (masks_flat, cameras, valid))
+    return acc
+
+
+def pack_camera(intrinsics, rot, tvec) -> np.ndarray:
+    """[fx,fy,cx,cy] + 3x3 rotmat + tvec -> (16,) float32 row."""
+    out = np.zeros(16, dtype=np.float32)
+    out[0:4] = np.asarray(intrinsics, dtype=np.float32)[:4]
+    out[4:13] = np.asarray(rot, dtype=np.float32).reshape(9)
+    out[13:16] = np.asarray(tvec, dtype=np.float32).reshape(3)
+    return out
+
+
+def camera_from_metadata(cam_md: dict) -> np.ndarray:
+    """Reference per-image camera metadata (cl.py:293-296):
+    {'camera_model': {'params': [fx,fy,cx,cy,...]}, 'rotmat': 3x3, 'tvec': 3}."""
+    return pack_camera(cam_md["camera_model"]["params"][0:4],
+                       cam_md["rotmat"], cam_md["tvec"])
+
+
+class Backprojection:
+    """API-compatible replacement for the reference's cl.Backprojection
+    (cl.py:118): same constructor and process_fileset/process_view surface,
+    but all views are carved in one fused TPU program.
+    """
+
+    def __init__(self, shape, origin, voxel_size, type="carving",
+                 default_value=0, labels=None, log=False):
+        self.shape = tuple(int(s) for s in shape)
+        self.origin = np.asarray(origin, dtype=np.float32)
+        self.voxel_size = float(voxel_size)
+        self.type = type
+        self.default_value = default_value
+        self.labels = labels
+        self.log = log
+        if type not in ("carving", "averaging"):
+            raise ValueError(
+                f"Unknown kernel type {type}, valid values are 'averaging' or 'carving'!")
+        self.dtype = np.int32 if type == "carving" else np.float32
+        self._pending_masks = []
+        self._pending_cams = []
+        self._values = None
+
+    # -- incremental API (parity with reference process_view) ----------
+    def process_view(self, intrinsics, rot, tvec, mask):
+        mask = np.asarray(mask)
+        if self.type == "averaging":
+            if mask.dtype == np.uint8:
+                mask = mask.astype(np.float32) / 255.0
+            mask = mask.astype(np.float32)
+            if self.log:
+                mask = np.log(EPS + mask)
+        self._pending_masks.append(mask)
+        self._pending_cams.append(pack_camera(intrinsics, rot, tvec))
+
+    def _flush(self):
+        if not self._pending_masks:
+            if self._values is None:
+                self._values = np.full(self.shape, self.default_value, dtype=self.dtype)
+            return
+        masks = np.stack(self._pending_masks)
+        cams = np.stack(self._pending_cams)
+        valid = np.ones(len(masks), dtype=bool)
+        if self.type == "carving":
+            vol = carve(masks, cams, valid, self.origin, self.voxel_size, self.shape)
+            vol = np.asarray(vol).astype(np.int32)
+            if self._values is not None:
+                prev = self._values
+                killed = (prev == -1) | (vol == -1)
+                seen = (prev == 1) | (vol == 1)
+                vol = np.where(killed, -1, np.where(seen, 1, 0)).astype(np.int32)
+        else:
+            vol = np.asarray(average(masks, cams, valid, self.origin,
+                                     self.voxel_size, self.shape))
+            if self._values is not None:
+                vol = self._values + vol
+        self._values = vol
+        self._pending_masks = []
+        self._pending_cams = []
+
+    def get_values(self):
+        self._flush()
+        return self._values.reshape(self.shape)
+
+    def clear(self):
+        self._pending_masks = []
+        self._pending_cams = []
+        self._values = None
+
+    # -- fileset API ----------------------------------------------------
+    def process_fileset(self, fs, camera_metadata, invert=False):
+        files = fs.get_files() if hasattr(fs, "get_files") else list(fs)
+        if self.labels is not None:
+            result = np.zeros((len(self.labels), *self.shape), dtype=np.float64)
+            for i, label in enumerate(self.labels):
+                self.clear()
+                result[i] = self.process_label(files, camera_metadata, label, invert)
+            return result
+        return self.process_label(files, camera_metadata, None, invert=invert)
+
+    def process_label(self, files, camera_metadata, label=None, invert=False):
+        from ..fsdb import io
+        for fi in files:
+            if label is not None and fi.get_metadata("channel") != label:
+                continue
+            cam = fi.get_metadata(camera_metadata, default=None)
+            if cam is None:
+                continue
+            mask = io.read_image(fi)
+            if invert:
+                mask = np.invert(mask)
+            c = camera_from_metadata(cam)
+            self.process_view(c[0:4], c[4:13], c[13:16], mask)
+        return self.get_values()

@@ -1,0 +1,252 @@
+"""3D processing (L2 host+TPU hybrid).
+
+Role of reference plant3dvision/proc3d.py (755 LoC). The dense array stages
+(signed distance, gradients, smoothing, band extraction) run on TPU via
+ops.edt / ops.filters; graph stages (kNN, Dijkstra, clustering) run on host
+through scipy's C implementations — replacing the reference's per-point
+python loops (knn_graph proc3d.py:160-184, connect_graph :212-263,
+distance_to_root_clusters :266-329) with vectorized equivalents.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .fsdb.geometry import PointCloud, TriangleMesh
+from .runtime.log import configure_logger
+
+logger = configure_logger(__name__)
+
+
+# -- coordinate transforms (reference proc3d.py:28-65) -------------------
+
+def index2point(indexes, origin, voxel_size):
+    indexes = np.asarray(indexes, dtype=np.float64)
+    origin = np.asarray(origin, dtype=np.float64)
+    return voxel_size * indexes + origin[np.newaxis, :]
+
+
+def point2index(points, origin, voxel_size):
+    points = np.asarray(points, dtype=np.float64)
+    origin = np.asarray(origin, dtype=np.float64)
+    return np.asarray(np.round((points - origin[np.newaxis, :]) / voxel_size), dtype=int)
+
+
+# -- volume -> point cloud (reference vol2pcd, proc3d.py:490-570) --------
+
+def vol2pcd(volume, origin, voxel_size, level_set_value=0, dist_cap=16):
+    """Binary/score volume -> surface point cloud with outward normals.
+
+    Same algorithm as the reference: signed distance from two EDTs,
+    Gaussian-smoothed gradient normals, points extracted on the level-set
+    band (-l, -l + sqrt(3)] and slid along the normal onto the level set.
+    The dense stages are one jitted TPU program; the final point gather is
+    vectorized numpy (the reference uses a joblib loop per point).
+    """
+    import jax.numpy as jnp
+    from .ops.edt import signed_distance
+    from .ops.filters import gaussian_filter, gradient
+
+    vol = np.asarray(volume)
+    cap = int(min(dist_cap + level_set_value + 4, max(vol.shape)))
+
+    def _dense(v):
+        dist = signed_distance(v, cap)
+        gx, gy, gz = gradient(dist)
+        gx = gaussian_filter(gx, 1.0)
+        gy = gaussian_filter(gy, 1.0)
+        gz = gaussian_filter(gz, 1.0)
+        on_edge = (dist > -level_set_value) & (dist <= -level_set_value + np.sqrt(3))
+        return dist, gx, gy, gz, on_edge
+
+    import jax
+    dist, gx, gy, gz, on_edge = jax.jit(_dense)(jnp.asarray(vol))
+    dist = np.asarray(dist)
+    gx, gy, gz = np.asarray(gx), np.asarray(gy), np.asarray(gz)
+    on_edge = np.asarray(on_edge)
+
+    x, y, z = np.nonzero(on_edge)
+    grad = np.stack([gx[x, y, z], gy[x, y, z], gz[x, y, z]], axis=1)
+    gnorm = np.linalg.norm(grad, axis=1)
+    ok = gnorm > 0
+    x, y, z, grad, gnorm = x[ok], y[ok], z[ok], grad[ok], gnorm[ok]
+    ghat = grad / gnorm[:, None]
+    val = dist[x, y, z] + level_set_value - np.sqrt(3) / 2
+    pts = np.stack([x, y, z], axis=1).astype(np.float64) - ghat * val[:, None]
+    normals = -ghat
+    pts = index2point(pts, np.asarray(origin), voxel_size)
+    return PointCloud(pts, normals).normalize_normals()
+
+
+def pcd2vol(pcd_points, voxel_size, zero_padding=0):
+    """Voxelize a point cloud: counts per cell (reference proc3d.py:92-124)."""
+    pcd_points = np.asarray(pcd_points)
+    origin = np.min(pcd_points, axis=0) - zero_padding * voxel_size
+    indices = point2index(pcd_points, origin, voxel_size)
+    shape = indices.max(axis=0)
+    vol = np.zeros(tuple(shape + 2 * zero_padding + 1), dtype=float)
+    indices = indices + zero_padding
+    np.add.at(vol, (indices[:, 0], indices[:, 1], indices[:, 2]), 1.0)
+    return vol, origin
+
+
+# -- graphs over point clouds --------------------------------------------
+
+def knn_graph_csr(points, k):
+    """Symmetric kNN graph as a scipy CSR matrix of Euclidean weights."""
+    import scipy.sparse as sp
+    from sklearn.neighbors import NearestNeighbors
+    points = np.asarray(points)
+    nn = NearestNeighbors(n_neighbors=min(k, len(points))).fit(points)
+    dist, idx = nn.kneighbors(points)
+    rows = np.repeat(np.arange(len(points)), idx.shape[1])
+    g = sp.coo_matrix((dist.ravel(), (rows, idx.ravel())),
+                      shape=(len(points), len(points))).tocsr()
+    return g.maximum(g.T)
+
+
+def connect_csr_graph(g, points, root_index):
+    """Connect all components to the root component by iteratively adding the
+    shortest bridging edge (reference connect_graph, proc3d.py:212-263)."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import connected_components
+    from sklearn.neighbors import KDTree
+
+    points = np.asarray(points)
+    g = sp.lil_matrix(g)
+    while True:
+        n_cc, labels = connected_components(g.tocsr(), directed=False)
+        if n_cc == 1:
+            break
+        root_label = labels[root_index]
+        in_root = np.where(labels == root_label)[0]
+        out_root = np.where(labels != root_label)[0]
+        tree = KDTree(points[in_root])
+        d, j = tree.query(points[out_root], k=1)
+        best = np.argmin(d[:, 0])
+        i1 = out_root[best]
+        i2 = in_root[j[best, 0]]
+        w = float(d[best, 0])
+        g[i1, i2] = w
+        g[i2, i1] = w
+    return g.tocsr()
+
+
+def distance_to_root_clusters(g, root_index, points, bin_size):
+    """Xu-method clustering: bin nodes by geodesic distance-to-root, split
+    bins into connected components, build the quotient (cluster) graph.
+
+    Returns (cluster_centers (C,3), cluster_edges (E,2), node_cluster (N,)).
+    Vectorized reimplementation of reference proc3d.py:266-329.
+    """
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import connected_components, dijkstra
+
+    points = np.asarray(points)
+    n = len(points)
+    dist = dijkstra(g, directed=False, indices=root_index)
+    finite = np.isfinite(dist)
+    bins = np.full(n, -1, dtype=np.int64)
+    bins[finite] = np.floor(dist[finite] / bin_size).astype(np.int64)
+
+    # connected components within each bin: mask edges that cross bins
+    coo = sp.coo_matrix(g)
+    same_bin = (bins[coo.row] == bins[coo.col]) & (bins[coo.row] >= 0)
+    sub = sp.coo_matrix((coo.data[same_bin], (coo.row[same_bin], coo.col[same_bin])),
+                        shape=(n, n))
+    _, cc_labels = connected_components(sub.tocsr(), directed=False)
+
+    # cluster id = unique (bin, cc) among reachable nodes; order by (bin, cc)
+    key = bins.astype(np.int64) * (cc_labels.max() + 1) + cc_labels
+    key[~finite] = -1
+    reach = np.where(finite)[0]
+    uniq, node_cluster_r = np.unique(key[reach], return_inverse=True)
+    node_cluster = np.full(n, -1, dtype=np.int64)
+    node_cluster[reach] = node_cluster_r
+
+    n_clusters = len(uniq)
+    centers = np.zeros((n_clusters, 3))
+    counts = np.bincount(node_cluster_r, minlength=n_clusters).astype(float)
+    for d in range(3):
+        centers[:, d] = np.bincount(node_cluster_r, weights=points[reach, d],
+                                    minlength=n_clusters) / counts
+
+    # quotient edges: any original edge between different clusters
+    cr = node_cluster[coo.row]
+    cc_ = node_cluster[coo.col]
+    cross = (cr >= 0) & (cc_ >= 0) & (cr != cc_)
+    e = np.stack([np.minimum(cr[cross], cc_[cross]),
+                  np.maximum(cr[cross], cc_[cross])], axis=1)
+    edges = np.unique(e, axis=0) if len(e) else np.zeros((0, 2), dtype=np.int64)
+    return centers, edges, node_cluster
+
+
+def skeleton_from_distance_to_root_clusters(points, root_index, bin_size, k,
+                                            connect_all_points=True):
+    """The Xu method (reference proc3d.py:392-426): kNN graph -> geodesic
+    distance bins -> cluster quotient graph -> MST. Returns (nodes (C,3),
+    edges (E,2)) — the skeleton in {points, lines} form."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import minimum_spanning_tree
+
+    g = knn_graph_csr(points, k)
+    if connect_all_points:
+        g = connect_csr_graph(g, points, root_index)
+    centers, edges, _ = distance_to_root_clusters(g, root_index, points, bin_size)
+    if len(edges) == 0:
+        return centers, edges
+    w = np.linalg.norm(centers[edges[:, 0]] - centers[edges[:, 1]], axis=1)
+    cg = sp.coo_matrix((w, (edges[:, 0], edges[:, 1])),
+                       shape=(len(centers), len(centers)))
+    mst = minimum_spanning_tree(cg.maximum(cg.T))
+    mst = sp.coo_matrix(mst)
+    lines = np.stack([mst.row, mst.col], axis=1)
+    return centers, lines
+
+
+# -- misc (reference proc3d.py:573-659) ----------------------------------
+
+def crop_point_cloud(pcd: PointCloud, bounding_box: dict) -> PointCloud:
+    pts = pcd.points
+    keep = np.ones(len(pts), dtype=bool)
+    for axis, key in enumerate(("x", "y", "z")):
+        lo, hi = bounding_box[key]
+        keep &= (pts[:, axis] >= lo) & (pts[:, axis] <= hi)
+    return PointCloud(
+        pts[keep],
+        None if pcd.normals is None else pcd.normals[keep],
+        None if pcd.colors is None else pcd.colors[keep],
+    )
+
+
+def fit_plane_ransac(points, n_iter=100, threshold=1.0, seed=0):
+    """RANSAC plane fit: returns (normal, d, inlier_mask)."""
+    rng = np.random.default_rng(seed)
+    points = np.asarray(points)
+    best_inliers = None
+    best = None
+    for _ in range(n_iter):
+        idx = rng.choice(len(points), 3, replace=False)
+        p0, p1, p2 = points[idx]
+        n = np.cross(p1 - p0, p2 - p0)
+        norm = np.linalg.norm(n)
+        if norm < 1e-12:
+            continue
+        n = n / norm
+        d = -np.dot(n, p0)
+        err = np.abs(points @ n + d)
+        inliers = err < threshold
+        if best_inliers is None or inliers.sum() > best_inliers.sum():
+            best_inliers = inliers
+            best = (n, d)
+    return best[0], best[1], best_inliers
+
+
+def backproject_points(points, K, rot, tvec):
+    """Nx3 world points -> Nx2 pixel coords (reference proc3d.py:655-659)."""
+    points = np.asarray(points)
+    p = points @ np.asarray(rot).T + np.asarray(tvec)[None, :]
+    K = np.asarray(K)
+    x = p[:, 0] / p[:, 2] * K[0, 0] + K[0, 2]
+    y = p[:, 1] / p[:, 2] * K[1, 1] + K[1, 2]
+    return np.stack([x, y], axis=1)

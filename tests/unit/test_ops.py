@@ -1,0 +1,336 @@
+"""Numeric tests for the TPU ops against trusted references (scipy/cv2/numpy
+oracles), run on the CPU backend."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+
+# -- EDT ------------------------------------------------------------------
+
+def test_squared_edt_matches_scipy_3d(rng):
+    from scipy.ndimage import distance_transform_edt
+    from plant3dvision_tpu.ops.edt import edt
+
+    vol = (rng.random((24, 20, 22)) > 0.7).astype(np.float32)
+    ours = np.asarray(edt(vol))
+    ref = distance_transform_edt(vol)
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_capped_edt_exact_within_cap(rng):
+    from scipy.ndimage import distance_transform_edt
+    from plant3dvision_tpu.ops.edt import edt
+
+    vol = np.ones((40, 40, 8), dtype=np.float32)
+    vol[20, 20, 4] = 0
+    ours = np.asarray(edt(vol, cap=6))
+    ref = distance_transform_edt(vol)
+    band = ref <= 6
+    np.testing.assert_allclose(ours[band], ref[band], atol=1e-4)
+    assert (ours[~band] >= 6 - 1e-4).all()
+
+
+def test_signed_distance_semantics():
+    from scipy.ndimage import distance_transform_edt
+    from plant3dvision_tpu.ops.edt import signed_distance
+
+    vol = np.zeros((16, 16, 16), dtype=np.float32)
+    vol[4:12, 4:12, 4:12] = 1.0
+    sd = np.asarray(signed_distance(vol, cap=10))
+    dist = distance_transform_edt(vol)
+    mdist = distance_transform_edt(1 - vol)
+    ref = np.where(dist > 0.5, dist - 0.5, -mdist + 0.5)
+    np.testing.assert_allclose(sd, ref, atol=1e-4)
+
+
+# -- filters ---------------------------------------------------------------
+
+def test_gaussian_filter_matches_scipy(rng):
+    from scipy.ndimage import gaussian_filter as scipy_gauss
+    from plant3dvision_tpu.ops.filters import gaussian_filter
+
+    x = rng.random((18, 22, 20)).astype(np.float32)
+    ours = np.asarray(gaussian_filter(jnp.asarray(x), 1.0))
+    ref = scipy_gauss(x, 1.0)
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_gradient_matches_numpy(rng):
+    from plant3dvision_tpu.ops.filters import gradient
+
+    x = rng.random((10, 12, 14)).astype(np.float32)
+    ours = [np.asarray(g) for g in gradient(jnp.asarray(x))]
+    ref = np.gradient(x)
+    for o, r in zip(ours, ref):
+        np.testing.assert_allclose(o, r, atol=1e-5)
+
+
+# -- masks -------------------------------------------------------------------
+
+def test_excess_green():
+    from plant3dvision_tpu.ops.masks import excess_green
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    img[..., 1] = 255  # pure green
+    eg = np.asarray(excess_green(img))
+    np.testing.assert_allclose(eg, 2.0, atol=1e-5)  # 2*1 - 0 - 0
+
+
+def test_linear_filter():
+    from plant3dvision_tpu.ops.masks import linear_filter
+
+    img = np.stack([np.full((3, 3), 60), np.full((3, 3), 120), np.full((3, 3), 240)],
+                   axis=-1).astype(np.uint8)
+    out = np.asarray(linear_filter(img, [0.0, 1.0, 0.0]))
+    np.testing.assert_allclose(out, 120 / 255.0, atol=1e-6)
+
+
+def test_binary_dilation_matches_scipy(rng):
+    from scipy.ndimage import binary_dilation as scipy_dil
+    from plant3dvision_tpu.ops.masks import binary_dilation, _disk_offsets
+
+    m = rng.random((32, 40)) > 0.95
+    r = 3
+    # scipy with explicit disk structuring element
+    size = 2 * r + 1
+    footprint = np.zeros((size, size), dtype=bool)
+    for dy, dx in _disk_offsets(r):
+        footprint[dy + r, dx + r] = True
+    ref = scipy_dil(m, structure=footprint)
+    ours = np.asarray(binary_dilation(m, r))
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_compute_mask_pipeline():
+    from plant3dvision_tpu.ops.masks import compute_mask
+
+    img = np.zeros((20, 20, 3), dtype=np.uint8)
+    img[10, 10, 1] = 255
+    out = np.asarray(compute_mask(img, "linear", (0, 1, 0), threshold=0.5,
+                                  dilation_radius=2))
+    assert out[10, 10] == 1.0
+    assert out[10, 12] == 1.0  # dilated
+    assert out[10, 13] == 0.0
+    assert out.sum() == 13.0  # disk(2) has 13 pixels
+
+
+# -- undistort ----------------------------------------------------------------
+
+def test_undistort_matches_cv2(rng):
+    import cv2
+    from plant3dvision_tpu.ops.undistort import undistort
+
+    H, W = 120, 160
+    # smooth image: cv2 remap uses 5-bit fixed-point coords, so white noise
+    # would amplify sub-pixel coordinate differences into large level diffs
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    img = np.stack([
+        127 + 100 * np.sin(xx / 9.0) * np.cos(yy / 7.0),
+        127 + 100 * np.cos(xx / 13.0 + yy / 11.0),
+        np.clip(xx + yy, 0, 255),
+    ], axis=-1).astype(np.uint8)
+    K = np.array([[140.0, 0, W / 2], [0, 140.0, H / 2], [0, 0, 1]])
+    dist = np.array([-0.1, 0.02, 0.001, -0.001])
+    ref = cv2.undistort(img, K, dist)
+    ours = np.asarray(undistort(img, jnp.asarray(K, jnp.float32),
+                                jnp.asarray(dist, jnp.float32)))
+    # interior agreement (borders differ by interpolation policy)
+    diff = np.abs(ref[10:-10, 10:-10].astype(int) - ours[10:-10, 10:-10].astype(int))
+    assert np.quantile(diff, 0.99) <= 2, f"p99 diff {np.quantile(diff, 0.99)}"
+    assert diff.max() <= 5, f"max diff {diff.max()}"
+
+
+# -- carving -------------------------------------------------------------------
+
+def _numpy_carve(masks, cams, origin, voxel_size, shape):
+    """Direct oracle port of kernels/backprojection.c carve semantics."""
+    nx, ny, nz = shape
+    out = np.zeros(shape, dtype=np.int32)
+    V, H, W = masks.shape
+    ii, jj, kk = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij")
+    pts = np.stack([origin[0] + ii * voxel_size,
+                    origin[1] + jj * voxel_size,
+                    origin[2] + kk * voxel_size], axis=-1).astype(np.float32)
+    killed = np.zeros(shape, dtype=bool)
+    seen = np.zeros(shape, dtype=bool)
+    for v in range(V):
+        fx, fy, cx, cy = cams[v, 0:4]
+        R = cams[v, 4:13].reshape(3, 3).astype(np.float32)
+        t = cams[v, 13:16].astype(np.float32)
+        p = (pts @ R.T + t).astype(np.float32)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            px = (p[..., 0] / p[..., 2] * fx + cx).astype(np.int32)
+            py = (p[..., 1] / p[..., 2] * fy + cy).astype(np.int32)
+        in_img = (p[..., 2] > 0) & (px >= 0) & (px <= W - 1) & (py >= 0) & (py <= H - 1)
+        hit = np.zeros(shape, dtype=bool)
+        hit[in_img] = masks[v][py[in_img], px[in_img]] != 0
+        killed |= in_img & ~hit
+        seen |= in_img & hit
+    out[killed] = -1
+    out[~killed & seen] = 1
+    return out
+
+
+def _synthetic_views(n_views=8, H=64, W=64, radius=6.0, dist_cam=40.0):
+    """Cameras on a circle looking at origin + masks = projected disk of a
+    sphere of `radius` at origin."""
+    from plant3dvision_tpu.camera import pose_to_extrinsics
+    from plant3dvision_tpu.ops.carving import pack_camera
+
+    f = 80.0
+    cams, masks = [], []
+    for v in range(n_views):
+        a = 2 * np.pi * v / n_views
+        c = np.array([dist_cam * np.cos(a), dist_cam * np.sin(a), 0.0])
+        R, t = pose_to_extrinsics(c, (0, 0, 0))
+        # project sphere silhouette: approximate by projecting sphere center
+        # and drawing a conservative disk
+        px_r = f * radius / dist_cam
+        yy, xx = np.mgrid[0:H, 0:W]
+        mask = ((xx - W / 2) ** 2 + (yy - H / 2) ** 2 <= px_r ** 2).astype(np.uint8) * 255
+        cams.append(pack_camera([f, f, W / 2, H / 2], R, t))
+        masks.append(mask)
+    return np.stack(masks), np.stack(cams)
+
+
+def test_carve_matches_numpy_oracle():
+    from plant3dvision_tpu.ops.carving import carve
+
+    masks, cams = _synthetic_views()
+    shape = (20, 20, 20)
+    origin = np.array([-10.0, -10.0, -10.0], dtype=np.float32)
+    vs = 1.0
+    ours = np.asarray(carve(jnp.asarray(masks), jnp.asarray(cams),
+                            jnp.ones(len(masks), bool), origin, vs, shape))
+    ref = _numpy_carve(masks, cams, origin, vs, shape)
+    np.testing.assert_array_equal(ours, ref)
+    # sanity: center voxel alive, corners carved
+    assert ours[10, 10, 10] == 1
+    assert ours[0, 0, 10] == -1
+
+
+def test_carve_backprojection_class_api(temp_db):
+    """The cl.Backprojection-compatible wrapper carves a fileset."""
+    from plant3dvision_tpu.fsdb import io
+    from plant3dvision_tpu.ops.carving import Backprojection
+
+    masks, cams = _synthetic_views()
+    scan = temp_db.create_scan("s")
+    fs = scan.create_fileset("masks")
+    for v in range(len(masks)):
+        f = fs.create_file(f"m{v:02d}")
+        io.write_image(f, masks[v], "png")
+        f.set_metadata("channel", "rgb")
+        f.set_metadata("camera", {
+            "camera_model": {"params": cams[v, 0:4].tolist()},
+            "rotmat": cams[v, 4:13].reshape(3, 3).tolist(),
+            "tvec": cams[v, 13:16].tolist(),
+        })
+    bp = Backprojection(shape=[20, 20, 20], origin=[-10, -10, -10], voxel_size=1.0)
+    vol = bp.process_fileset(fs, "camera")
+    ref = _numpy_carve(masks, cams, np.array([-10.0, -10.0, -10.0]), 1.0, (20, 20, 20))
+    np.testing.assert_array_equal(vol, ref)
+
+
+def test_averaging_mode():
+    from plant3dvision_tpu.ops.carving import average
+
+    masks, cams = _synthetic_views()
+    shape = (20, 20, 20)
+    origin = np.array([-10.0, -10.0, -10.0], dtype=np.float32)
+    vol = np.asarray(average(jnp.asarray(masks, jnp.float32) / 255.0,
+                             jnp.asarray(cams), jnp.ones(len(masks), bool),
+                             origin, 1.0, shape))
+    assert vol[10, 10, 10] == pytest.approx(len(masks), abs=1e-3)  # all views see center
+    assert vol[0, 0, 10] < len(masks) / 2  # corner mostly background
+
+
+# -- vol2pcd -------------------------------------------------------------------
+
+def test_vol2pcd_sphere():
+    from plant3dvision_tpu.proc3d import vol2pcd
+
+    n = 32
+    c, r = n / 2 - 0.5, 10.0
+    zz, yy, xx = np.mgrid[0:n, 0:n, 0:n]
+    vol = (((xx - c) ** 2 + (yy - c) ** 2 + (zz - c) ** 2) <= r * r).astype(np.float32)
+    pcd = vol2pcd(vol, origin=np.zeros(3), voxel_size=1.0, level_set_value=0)
+    assert len(pcd) > 500
+    d = np.linalg.norm(pcd.points - c, axis=1)
+    # points should sit near the sphere surface
+    assert np.abs(d - r).mean() < 1.0
+    # normals should point outward (along radius)
+    radial = (pcd.points - c) / d[:, None]
+    cos = np.einsum("ij,ij->i", radial, pcd.normals)
+    assert cos.mean() > 0.95
+
+
+def test_vol2pcd_matches_reference_recipe():
+    """Exact parity with the reference algorithm (proc3d.py:490-570)
+    re-executed in scipy/numpy."""
+    from scipy.ndimage import distance_transform_edt, gaussian_filter as sg
+    from plant3dvision_tpu.proc3d import vol2pcd
+
+    rng = np.random.default_rng(0)
+    vol = np.zeros((24, 24, 24), dtype=np.float32)
+    vol[8:16, 8:16, 6:18] = 1.0
+    level = 1.0
+
+    volume = 1.0 * (vol > 0.5)
+    dist = distance_transform_edt(volume)
+    mdist = distance_transform_edt(1 - volume)
+    dist = np.where(dist > 0.5, dist - 0.5, -mdist + 0.5)
+    gx, gy, gz = np.gradient(dist)
+    gx, gy, gz = sg(gx, 1), sg(gy, 1), sg(gz, 1)
+    on_edge = (dist > -level) * (dist <= -level + np.sqrt(3))
+    x, y, z = np.nonzero(on_edge)
+    pts, normals = [], []
+    for i in range(len(x)):
+        grad = np.array([gx[x[i], y[i], z[i]], gy[x[i], y[i], z[i]], gz[x[i], y[i], z[i]]])
+        gn = np.linalg.norm(grad)
+        if gn > 0:
+            gh = grad / gn
+            val = dist[x[i], y[i], z[i]] + level - np.sqrt(3) / 2
+            pts.append([x[i] - gh[0] * val, y[i] - gh[1] * val, z[i] - gh[2] * val])
+            normals.append(-gh)
+    ref_pts = np.array(pts)
+    ref_nrm = np.array(normals)
+    ref_nrm /= np.linalg.norm(ref_nrm, axis=1, keepdims=True)
+
+    pcd = vol2pcd(vol, origin=np.zeros(3), voxel_size=1.0, level_set_value=level)
+    assert len(pcd) == len(ref_pts)
+    np.testing.assert_allclose(pcd.points, ref_pts, atol=1e-3)
+    np.testing.assert_allclose(pcd.normals, ref_nrm, atol=1e-3)
+
+
+# -- camera ---------------------------------------------------------------------
+
+def test_camera_param_roundtrip():
+    from plant3dvision_tpu.camera import (colmap_params_to_k_dist,
+                                          k_dist_to_colmap_params, simplify_model)
+
+    K, dist = colmap_params_to_k_dist("OPENCV", [100, 110, 64, 48, -0.1, 0.01, 0.001, -0.002])
+    assert K[0, 0] == 100 and K[1, 1] == 110
+    params = k_dist_to_colmap_params("OPENCV", K, dist)
+    np.testing.assert_allclose(params, [100, 110, 64, 48, -0.1, 0.01, 0.001, -0.002])
+
+    model, p = simplify_model("OPENCV", [100, 100, 64, 48, -0.1, 0.0, 0.0, 0.0])
+    assert model == "SIMPLE_RADIAL"
+    np.testing.assert_allclose(p, [100, 64, 48, -0.1])
+
+
+def test_pose_to_extrinsics_roundtrip():
+    from plant3dvision_tpu.camera import compute_estimated_pose, pose_to_extrinsics
+
+    c = [30.0, -20.0, 15.0]
+    R, t = pose_to_extrinsics(c, (0, 0, 0))
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-12)
+    assert np.linalg.det(R) == pytest.approx(1.0)
+    np.testing.assert_allclose(compute_estimated_pose(R, t), c, atol=1e-9)
+    # target projects to optical axis: R @ (target - c) = [0, 0, +dist]
+    fwd = R @ (np.zeros(3) - np.asarray(c))
+    assert fwd[0] == pytest.approx(0, abs=1e-9)
+    assert fwd[1] == pytest.approx(0, abs=1e-9)
+    assert fwd[2] > 0
