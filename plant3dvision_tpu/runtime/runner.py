@@ -33,6 +33,19 @@ def _collect(task: BaseTask, order: list, seen: set):
     order.append(task)
 
 
+def _destroy_output(task):
+    """A failed run() must not leave a partially-written fileset behind —
+    completeness is fileset-existence, so partial outputs would corrupt
+    resume semantics."""
+    try:
+        out = task.output()
+        fs_id = getattr(out, "fileset_id", None)
+        if fs_id is not None and task.ctx is not None:
+            task.ctx.scan.delete_fileset(fs_id)
+    except Exception:
+        pass
+
+
 def run_task(ctx, task_name_or_cls, report=True) -> dict:
     """Resolve and run the dependency closure of a task bottom-up.
 
@@ -65,9 +78,11 @@ def run_task(ctx, task_name_or_cls, report=True) -> dict:
                 break
             except RetryableTaskError as e:
                 last_err = e
+                _destroy_output(task)
                 continue
             except Exception as e:
                 last_err = e
+                _destroy_output(task)
                 break
         dt = time.monotonic() - t0
         out = task.output()

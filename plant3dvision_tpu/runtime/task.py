@@ -53,6 +53,10 @@ class TaskRegistry:
     @classmethod
     def get(cls, name: str) -> type:
         if name not in cls._registry:
+            # lazily pull in the task library (registers all pipeline tasks)
+            import importlib
+            importlib.import_module("plant3dvision_tpu.tasks")
+        if name not in cls._registry:
             raise KeyError(f"Unknown task: {name!r}. Known: {sorted(cls._registry)}")
         return cls._registry[name]
 

@@ -11,3 +11,7 @@ from ..runtime.task import (  # noqa: F401
     ModelFilesetExists,
     VirtualPlantObj,
 )
+from .proc2d import Undistorted, Masks  # noqa: F401
+from .cl import Voxels  # noqa: F401
+from .proc3d import PointCloud, TriangleMesh, CurveSkeleton, RefineSkeleton  # noqa: F401
+from .arabidopsis import TreeGraph, AnglesAndInternodes  # noqa: F401

@@ -1,0 +1,90 @@
+"""End-to-end geometric pipeline on a synthetic ground-truth scan.
+
+The analogue of the reference's tests/integration/test_anglesandinternodes.py
+(oracle: len(angles) > 10), strengthened with a true accuracy oracle — the
+synthetic plant's divergence angles are known exactly.
+"""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from plant3dvision_tpu.fsdb.testing import TemporaryDB
+from plant3dvision_tpu.runtime import RunContext, run_task
+from plant3dvision_tpu.runtime.config import load_toml
+from plant3dvision_tpu.synth import SyntheticPlant, generate_scan
+
+REPO = Path(__file__).resolve().parents[2]
+CONFIG = REPO / "configs" / "geom_pipe_synth.toml"
+
+GT_DIV = 137.5
+N_FRUITS = 12
+
+
+@pytest.fixture(scope="module")
+def synth_db():
+    with TemporaryDB() as db:
+        plant = SyntheticPlant(n_fruits=N_FRUITS, divergence_deg=GT_DIV,
+                               internode=6.0, stem_radius=2.5,
+                               fruit_radius=1.8, fruit_length=30.0)
+        generate_scan(db, "synthetic", n_views=36, width=448, height=448,
+                      f=600.0, plant=plant)
+        yield db
+
+
+def _angle_error(pred, gt):
+    pred = np.asarray(pred, dtype=float)
+    gt = np.asarray(gt, dtype=float)
+    cands = [pred, 360 - pred, pred[::-1], 360 - pred[::-1]]
+    return min(np.abs(c - gt).mean() for c in cands if len(c) == len(gt))
+
+
+def test_full_geom_pipeline(synth_db):
+    ctx = RunContext(synth_db, "synthetic", load_toml(CONFIG))
+    report = run_task(ctx, "AnglesAndInternodes", report=False)
+    assert report["AnglesAndInternodes"]["status"] == "done"
+
+    fs_id = report["AnglesAndInternodes"]["fileset"]
+    fs = ctx.scan.get_fileset(fs_id)
+    out = json.loads(fs.get_file("AnglesAndInternodes").read_raw())
+
+    # reference oracle (test_anglesandinternodes.py:38-39)
+    assert len(out["angles"]) > 10
+    assert len(out["internodes"]) > 10
+
+    # accuracy oracle: known synthetic ground truth
+    err = _angle_error(out["angles"], np.full(N_FRUITS - 1, GT_DIV))
+    assert err < 3.0, f"mean angle error {err:.2f} deg: {out['angles']}"
+    internode_err = np.abs(np.asarray(out["internodes"]) - 6.0).mean()
+    assert internode_err < 1.0, f"internode error {internode_err:.2f} mm"
+
+    # auxiliary outputs (reference tasks/arabidopsis.py:146-156)
+    assert fs.get_file("fruit_direction") is not None
+    assert fs.get_file("stem_direction") is not None
+
+
+def test_triangle_mesh_task(synth_db):
+    ctx = RunContext(synth_db, "synthetic", load_toml(CONFIG))
+    report = run_task(ctx, "TriangleMesh", report=False)
+    fs = ctx.scan.get_fileset(ctx.get_task("TriangleMesh").task_id())
+    from plant3dvision_tpu.fsdb import io
+    mesh = io.read_triangle_mesh(fs.get_files()[0])
+    assert len(mesh.triangles) > 1000
+    # plant is ~131mm tall
+    zspan = mesh.vertices[:, 2].max() - mesh.vertices[:, 2].min()
+    assert 100 < zspan < 170
+
+
+def test_pipeline_via_cli(synth_db):
+    """Exercise the real romi_run_task CLI end-to-end (subprocess)."""
+    scan_dir = synth_db.path() / "synthetic"
+    env = {"JAX_PLATFORMS": "cpu", "PYTHONPATH": str(REPO), "PATH": "/usr/bin:/bin:/usr/local/bin"}
+    proc = subprocess.run(
+        [sys.executable, "-m", "plant3dvision_tpu.runtime.cli",
+         "CurveSkeleton", str(scan_dir), "--config", str(CONFIG)],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
