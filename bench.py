@@ -1,0 +1,84 @@
+"""Benchmark: space-carving throughput on the reference test workload.
+
+Workload (BASELINE.md): 60 views at 1440x1080, voxel grid 301x301x561
+(50.9 M voxels) => 3.05 G voxel-view tests — the reference's
+configs/test_geom_pipe_real.toml carving job, with a synthetic plant
+(capsule-union arabidopsis) as the scene.
+
+Engine: hierarchical conservative carve (ops/carving_hier.py) — produces a
+volume bit-identical to the brute-force kernel semantics
+(kernels/backprojection.c), verified in tests/unit/test_carving_hier.py.
+Effective throughput counts the full workload's voxel-view tests against
+wall time.
+
+Baseline for vs_baseline: the reference publishes NO numbers (BASELINE.md).
+We use 305 Mvv/s — the rate that completes this exact workload in 10 s,
+i.e. the driver's north-star budget for the ENTIRE geometric pipeline spent
+on carving alone.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+
+BASELINE_MVVS = 305.0  # test workload (3.05G tests) in 10 s
+
+
+def build_workload():
+    from plant3dvision_tpu.ops.carving import pack_camera
+    from plant3dvision_tpu.synth import SyntheticPlant, render_mask, turntable_cameras
+
+    V, H, W = 60, 1080, 1440
+    shape = (301, 301, 561)
+    voxel_size = 0.5
+    # plant centered in the bbox used by the reference test config
+    plant = SyntheticPlant(n_fruits=15, divergence_deg=137.5, internode=6.0,
+                           stem_radius=2.0, fruit_radius=1.5, fruit_length=35.0,
+                           first_node=30.0)
+    origin = np.array([-75.0, -75.0, -20.0], np.float32)
+    cams_krt = turntable_cameras(V, dist=450.0, z=120.0, target=(0, 0, 70.0),
+                                 f=1400.0, width=W, height=H)
+    masks = np.zeros((V, H, W), np.uint8)
+    cams = np.zeros((V, 16), np.float32)
+    for v, (K, R, t) in enumerate(cams_krt):
+        masks[v] = render_mask(plant, K, R, t, W, H, step=0.5)
+        cams[v] = pack_camera([K[0, 0], K[1, 1], K[0, 2], K[1, 2]], R, t)
+    return masks, cams, origin, voxel_size, shape
+
+
+def main():
+    from plant3dvision_tpu.ops.carving_hier import carve_hierarchical
+
+    masks, cams, origin, voxel_size, shape = build_workload()
+    valid = np.ones(len(masks), bool)
+
+    # warmup (compiles all stage programs)
+    vol = carve_hierarchical(masks, cams, valid, origin, voxel_size, shape)
+    assert (vol == 1).sum() > 1000, "carve produced an empty plant"
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        carve_hierarchical(masks, cams, valid, origin, voxel_size, shape)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+
+    tests = float(np.prod(shape)) * len(masks)
+    mvvs = tests / dt / 1e6
+    print(json.dumps({
+        "metric": "carve_throughput",
+        "value": round(mvvs, 1),
+        "unit": "Mvoxel-view/s",
+        "vs_baseline": round(mvvs / BASELINE_MVVS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,90 @@
+"""Model checkpoint save/load.
+
+Format: NPZ of '/'-joined flattened param paths (+ a JSON config entry) —
+loadable with zero deps beyond numpy. Plays the role of the reference's
+torch .pt checkpoint files stored in the 'models' fileset
+(tasks/proc2d.py:336-339, get_model.sh).
+"""
+
+from __future__ import annotations
+
+import json
+from io import BytesIO
+
+import numpy as np
+
+
+def params_to_npz_bytes(params, config: dict) -> bytes:
+    from flax.traverse_util import flatten_dict
+    flat = flatten_dict(params, sep="/")
+    buf = BytesIO()
+    arrays = {k: np.asarray(v) for k, v in flat.items()}
+    arrays["__config__"] = np.frombuffer(
+        json.dumps(config).encode(), dtype=np.uint8)
+    np.savez_compressed(buf, **arrays)
+    return buf.getvalue()
+
+
+def params_from_npz_bytes(data: bytes):
+    from flax.traverse_util import unflatten_dict
+    buf = BytesIO(data)
+    loaded = np.load(buf, allow_pickle=False)
+    config = {}
+    flat = {}
+    for k in loaded.files:
+        if k == "__config__":
+            config = json.loads(bytes(loaded[k]).decode())
+        else:
+            flat[k] = loaded[k]
+    params = unflatten_dict({tuple(k.split("/")): v for k, v in flat.items()})
+    return params, config
+
+
+def save_model(file, params, config: dict):
+    """Write a model checkpoint into an fsdb File (+ metadata)."""
+    file.write_raw(params_to_npz_bytes(params, config), "npz")
+    file.set_metadata("label_names", config.get("label_names"))
+    file.set_metadata("model_config", config)
+
+
+def load_model(file):
+    """Returns (model, params, config) from an fsdb File."""
+    from .unet import ResUNet, SEGMENTATION_LABELS
+    params, config = params_from_npz_bytes(file.read_raw())
+    labels = config.get("label_names") or SEGMENTATION_LABELS
+    model = ResUNet(n_classes=len(labels),
+                    widths=tuple(config.get("widths", (64, 128, 256, 512))),
+                    blocks_per_stage=int(config.get("blocks_per_stage", 2)))
+    return model, params, config
+
+
+def convert_torch_state_dict(state_dict, param_template):
+    """Best-effort torch->flax weight mapping for matching architectures:
+    matches tensors by shape signature in traversal order. Conv kernels are
+    transposed OIHW->HWIO. Returns a params pytree shaped like
+    `param_template`."""
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    torch_items = [(k, np.asarray(v)) for k, v in state_dict.items()
+                   if hasattr(v, "shape")]
+    flat = flatten_dict(param_template, sep="/")
+    used = set()
+    out = {}
+    for k, tmpl in flat.items():
+        shape = tuple(np.asarray(tmpl).shape)
+        found = None
+        for i, (tk, tv) in enumerate(torch_items):
+            if i in used:
+                continue
+            tshape = tuple(tv.shape)
+            if tshape == shape:
+                found = (i, tv)
+                break
+            if len(tshape) == 4 and (tshape[2], tshape[3], tshape[1], tshape[0]) == shape:
+                found = (i, np.transpose(tv, (2, 3, 1, 0)))
+                break
+        if found is None:
+            raise ValueError(f"No torch tensor matches param {k} {shape}")
+        used.add(found[0])
+        out[k] = found[1]
+    return unflatten_dict({tuple(k.split("/")): v for k, v in out.items()})

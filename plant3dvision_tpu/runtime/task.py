@@ -106,12 +106,26 @@ class BaseTask(metaclass=_TaskMeta):
         return out
 
     def task_id(self) -> str:
-        """``{TaskName}_{slug}_{hash10}`` (same scheme as luigi task ids,
-        which name the reference's output filesets)."""
+        """``{TaskName}_{slug}_{hash10}``.
+
+        Same naming scheme as luigi task ids (which name the reference's
+        output filesets), but the hash additionally covers the ids of all
+        required tasks — so changing an upstream task's parameters changes
+        every downstream fileset id too (luigi/romitask silently reuse
+        stale downstream outputs in that case).
+        """
+        if getattr(self, "_task_id_cache", None) is not None:
+            return self._task_id_cache
         name = self.get_task_family()
         params = self.significant_params()
         blob = repr(sorted((k, repr(v)) for k, v in params.items()))
-        digest = hashlib.md5((name + blob).encode()).hexdigest()[:10]
+        req = self.requires()
+        deps = (list(req.values()) if isinstance(req, dict)
+                else list(req) if isinstance(req, (list, tuple)) else [req])
+        dep_ids = sorted(
+            d.task_id() if hasattr(d, "task_id") else d.get_task_family()
+            for d in deps if d is not None and d.output() is not None)
+        digest = hashlib.md5((name + blob + repr(dep_ids)).encode()).hexdigest()[:10]
         ordered = sorted(self._params.items(), key=lambda kv: kv[1].order)
         parts = []
         for pname, param in ordered:
@@ -119,7 +133,9 @@ class BaseTask(metaclass=_TaskMeta):
                 continue
             parts.append(re.sub(r"[^A-Za-z0-9_]", "_", str(getattr(self, pname)))[:16])
         slug = "_".join(parts)
-        return f"{name}_{slug}_{digest}" if slug else f"{name}_{digest}"
+        self._task_id_cache = (f"{name}_{slug}_{digest}" if slug
+                               else f"{name}_{digest}")
+        return self._task_id_cache
 
     # -- DAG -----------------------------------------------------------
     def requires(self):
@@ -293,6 +309,16 @@ class ModelFilesetExists(FilesetExists):
         if self.scan_id:
             scan = self.ctx.db.get_scan(self.scan_id) or scan
         return FilesetTarget(scan, self.fileset_id)
+
+
+class NamedFilesetExists(FilesetExists):
+    """Marker for an arbitrary pre-existing fileset named by config
+    (e.g. ground-truth mask filesets in evaluation pipelines)."""
+
+    fileset_id = Parameter(default="images")
+
+    def output(self):
+        return FilesetTarget(self.ctx.scan, self.fileset_id)
 
 
 class DatasetExists(BaseTask):

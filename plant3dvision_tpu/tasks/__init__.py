@@ -11,7 +11,15 @@ from ..runtime.task import (  # noqa: F401
     ModelFilesetExists,
     VirtualPlantObj,
 )
-from .proc2d import Undistorted, Masks  # noqa: F401
+from .proc2d import Undistorted, Masks, Segmentation2D  # noqa: F401
 from .cl import Voxels  # noqa: F401
-from .proc3d import PointCloud, TriangleMesh, CurveSkeleton, RefineSkeleton  # noqa: F401
+from .proc3d import (  # noqa: F401
+    PointCloud,
+    TriangleMesh,
+    CurveSkeleton,
+    RefineSkeleton,
+    SegmentedPointCloud,
+    ClusteredMesh,
+    OrganSegmentation,
+)
 from .arabidopsis import TreeGraph, AnglesAndInternodes  # noqa: F401

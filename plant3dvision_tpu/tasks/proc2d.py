@@ -70,3 +70,83 @@ class Masks(FileByFileTask):
         fout = outfs.get_file(fin.id, create=True)
         io.write_image(fout, (out * 255).astype(np.uint8), "png")
         return fout
+
+
+class Segmentation2D(Masks):
+    """CNN organ segmentation: one grayscale PNG per image x label with
+    'channel' metadata (reference tasks/proc2d.py:302-393, romiseg boundary).
+
+    The model comes from the 'models' fileset (ModelFilesetExists), stored
+    in this framework's NPZ checkpoint format (models/checkpoint.py).
+    """
+
+    upstream_task = Parameter(default="Undistorted")
+    model_fileset = Parameter(default="ModelFilesetExists", significant=False)
+    model_id = Parameter(default="")
+    query = Parameter(default={})
+    Sx = Parameter(default=896)
+    Sy = Parameter(default=896)
+    single_label = Parameter(default="")
+    inverted_labels = Parameter(default=["background"])
+    binarize = Parameter(default=True)
+    threshold = Parameter(default=0.01)
+    dilation = Parameter(default=1)
+
+    def requires(self):
+        return {"images": self._upstream(),
+                "model": self.ctx.get_task(self.model_fileset)}
+
+    def run(self):
+        from ..models.checkpoint import load_model
+        from ..models.unet import segmentation_inference
+        from ..ops.masks import binary_dilation
+        import jax.numpy as jnp
+
+        model_fs = self.input()["model"].get(create=False)
+        if model_fs is None:
+            raise FileNotFoundError("No 'models' fileset found")
+        mfile = (model_fs.get_file(self.model_id) if self.model_id
+                 else model_fs.get_files()[0])
+        model, params, config = load_model(mfile)
+        labels = config.get("label_names") or mfile.get_metadata("label_names")
+
+        images_fs = self.input()["images"].get(create=False)
+        files = images_fs.get_files(query=self.query or None)
+        logger.info(f"Segmentation2D: {len(files)} images, labels={labels}")
+
+        imgs, metas = [], []
+        Sx, Sy = int(self.Sx), int(self.Sy)
+        for fin in files:
+            img = io.read_image(fin)
+            if img.ndim == 2:
+                img = np.repeat(img[..., None], 3, axis=-1)
+            H, W = img.shape[:2]
+            # center crop to (Sy, Sx) as the reference does (:351)
+            y0 = max((H - Sy) // 2, 0)
+            x0 = max((W - Sx) // 2, 0)
+            imgs.append(img[y0: y0 + Sy, x0: x0 + Sx, :3])
+            metas.append(fin)
+        batch = np.stack(imgs)
+
+        probs = segmentation_inference(model, params, batch)  # (N, C, H, W)
+
+        outfs = self.output().get()
+        for i, fin in enumerate(metas):
+            for c, label in enumerate(labels):
+                if self.single_label and label != self.single_label:
+                    continue
+                pred = probs[i, c]
+                if label in list(self.inverted_labels):
+                    pred = 1.0 - pred
+                if bool(self.binarize):
+                    m = pred > float(self.threshold)
+                    if int(self.dilation) > 0:
+                        m = np.asarray(binary_dilation(jnp.asarray(m),
+                                                       int(self.dilation)))
+                    pred = m.astype(np.float32)
+                fout = outfs.get_file(f"{fin.id}_{label}", create=True)
+                io.write_image(fout, (pred * 255).astype(np.uint8), "png")
+                md = fin.get_metadata()
+                md["channel"] = label
+                fout.set_metadata(md)
+        outfs.set_metadata("label_names", list(labels))

@@ -158,6 +158,135 @@ class CurveSkeleton(RomiTask):
                                 "lines": lines.tolist()})
 
 
+class SegmentedPointCloud(RomiTask):
+    """Label an existing point cloud by reprojecting into 2D label masks
+    (reference tasks/proc3d.py:185-253). The per-point python loop becomes
+    one jitted scan (ops.reproject)."""
+
+    upstream_task = Parameter(default="PointCloud")
+    upstream_segmentation = Parameter(default="Segmentation2D")
+    use_colmap_poses = Parameter(default=True)
+
+    def requires(self):
+        return {"pcd": self._upstream(),
+                "masks": self.ctx.get_task(self.upstream_segmentation)}
+
+    def run(self):
+        import jax.numpy as jnp
+        from ..ops.carving import camera_from_metadata
+        from ..ops.reproject import score_points_by_masks
+
+        pcd_fs = self.input()["pcd"].get(create=False)
+        pcd = io.read_point_cloud(pcd_fs.get_files()[0])
+        masks_fs = self.input()["masks"].get(create=False)
+        labels = masks_fs.get_metadata("label_names")
+        labels = [l for l in labels if l != "background"]
+
+        cam_key = "colmap_camera" if bool(self.use_colmap_poses) else "camera"
+        masks, cams, lab_idx = [], [], []
+        for f in masks_fs.get_files():
+            ch = f.get_metadata("channel")
+            if ch not in labels:
+                continue
+            cam = f.get_metadata(cam_key) or f.get_metadata("camera")
+            if cam is None:
+                continue
+            masks.append(io.read_image(f).astype(np.float32) / 255.0)
+            cams.append(camera_from_metadata(cam))
+            lab_idx.append(labels.index(ch))
+        if not masks:
+            raise ValueError("No labelled masks with camera metadata found")
+
+        scores = np.asarray(score_points_by_masks(
+            jnp.asarray(pcd.points, jnp.float32),
+            jnp.asarray(np.stack(masks)), jnp.asarray(np.stack(cams)),
+            jnp.asarray(np.array(lab_idx, np.int32)), len(labels)))
+        winner = np.argmax(scores, axis=1)
+        point_labels = [labels[i] for i in winner]
+
+        colors = np.zeros((len(pcd), 3))
+        for i, l in enumerate(labels):
+            colors[winner == i] = LABEL_COLORS.get(l, [0.5, 0.5, 0.5])
+        pcd.colors = colors
+        outfile = self.output_file()
+        io.write_point_cloud(outfile, pcd)
+        outfile.set_metadata({"labels": point_labels})
+
+
+class ClusteredMesh(RomiTask):
+    """One mesh per label x connected component from a labelled point cloud
+    (reference tasks/proc3d.py:348-416)."""
+
+    upstream_task = Parameter(default="SegmentedPointCloud")
+    min_vol = Parameter(default=1.0)
+    min_length = Parameter(default=10.0)
+
+    def run(self):
+        from .. import proc3d as p3d
+        from ..native import marching_cubes
+        from ..ops.edt import signed_distance
+
+        infile = self.input_file()
+        pcd = io.read_point_cloud(infile)
+        labels = np.asarray(infile.get_metadata("labels"))
+        outfs = self.output().get()
+        for label in sorted(set(labels.tolist())):
+            pts = pcd.points[labels == label]
+            if len(pts) < 20:
+                continue
+            vol, origin = p3d.pcd2vol(pts, voxel_size=1.0, zero_padding=4)
+            sd = np.asarray(signed_distance((vol > 0).astype(np.float32), cap=6))
+            mesh = marching_cubes(sd, level=0.0)
+            if len(mesh.triangles) == 0:
+                continue
+            mesh.vertices = p3d.index2point(mesh.vertices, origin, 1.0)
+            tlabel, counts = mesh.connected_components()
+            for cc_id in range(len(counts)):
+                if counts[cc_id] < 10:
+                    continue
+                sub = mesh.select_triangles(tlabel == cc_id)
+                f = outfs.get_file(f"{label}_{cc_id:03d}", create=True)
+                io.write_triangle_mesh(f, sub)
+                f.set_metadata("label", label)
+
+
+class OrganSegmentation(RomiTask):
+    """Split each label's points into organ instances with DBSCAN
+    (reference tasks/proc3d.py:419-521: eps=2.0, min_points=5, stem kept
+    whole)."""
+
+    upstream_task = Parameter(default="SegmentedPointCloud")
+    eps = Parameter(default=2.0)
+    min_points = Parameter(default=5)
+
+    def run(self):
+        from sklearn.cluster import DBSCAN
+        from ..fsdb.geometry import PointCloud as PCD2
+
+        infile = self.input_file()
+        pcd = io.read_point_cloud(infile)
+        labels = np.asarray(infile.get_metadata("labels"))
+        outfs = self.output().get()
+        for label in sorted(set(labels.tolist())):
+            pts = pcd.points[labels == label]
+            if len(pts) == 0:
+                continue
+            if label == "stem":
+                f = outfs.get_file("stem_000", create=True)
+                io.write_point_cloud(f, PCD2(pts))
+                f.set_metadata("label", "stem")
+                continue
+            clu = DBSCAN(eps=float(self.eps),
+                         min_samples=int(self.min_points)).fit(pts)
+            for organ_id in sorted(set(clu.labels_.tolist())):
+                if organ_id < 0:
+                    continue
+                organ_pts = pts[clu.labels_ == organ_id]
+                f = outfs.get_file(f"{label}_{organ_id:03d}", create=True)
+                io.write_point_cloud(f, PCD2(organ_pts))
+                f.set_metadata("label", label)
+
+
 class RefineSkeleton(RomiTask):
     """Deformable registration of the skeleton onto the point cloud
     (reference tasks/proc3d.py:561-639, skeleton_refinement submodule:

@@ -1,0 +1,139 @@
+"""End-to-end ML pipeline tests.
+
+Two layers of oracle (role of the reference's ML integration tests,
+tests/integration/test_anglesandinternodes.py):
+
+- CNN path: train a tiny UNet on synthetic color-coded scans, then
+  Segmentation2D -> Voxels(averaging) -> PointCloud(multiclass) ->
+  SegmentedPointCloud; assert per-class labelling is sane.
+- Organ trait path: with ground-truth masks (NamedFilesetExists), run
+  through OrganSegmentation -> AnglesAndInternodes and check divergence
+  angles against the known 137.5 deg spiral.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+
+from plant3dvision_tpu.fsdb import io
+from plant3dvision_tpu.fsdb.testing import TemporaryDB
+from plant3dvision_tpu.runtime import RunContext, run_task
+from plant3dvision_tpu.runtime.config import load_toml
+from plant3dvision_tpu.synth import SyntheticPlant, generate_ml_scan
+
+REPO = Path(__file__).resolve().parents[2]
+CONFIG = REPO / "configs" / "ml_pipe_synth.toml"
+
+LABELS = ["background", "stem", "pedicel", "fruit"]
+
+
+def _sparse_plant():
+    # real-arabidopsis-like sparsity: long fruits, wide internodes — the
+    # visual hull can only instance-separate organs that don't overlap
+    return SyntheticPlant(n_fruits=7, divergence_deg=137.5, internode=14.0,
+                          stem_radius=2.5, fruit_radius=2.0,
+                          fruit_length=35.0, fruit_elevation_deg=55.0,
+                          first_node=25.0)
+
+
+def _train_tiny_segmenter(scan, steps=150):
+    """Train a small UNet to segment the color-coded renders (the mapping
+    color->label is trivially learnable, so a few steps suffice)."""
+    import optax
+    import jax.numpy as jnp
+    from plant3dvision_tpu.models import create_unet
+
+    images_fs = scan.get_fileset("images")
+    gt_fs = scan.get_fileset("gt_masks")
+    imgs, labels = [], []
+    for f in images_fs.get_files()[:8]:
+        img = io.read_image(f)
+        shot = f.get_metadata("shot_id")
+        lab = np.zeros(img.shape[:2], np.int32)
+        for li, name in enumerate(LABELS):
+            if name == "background":
+                continue
+            for g in gt_fs.get_files({"shot_id": shot, "channel": name}):
+                lab[io.read_image(g) > 0] = li
+        imgs.append(img.astype(np.float32) / 255.0)
+        labels.append(lab)
+    imgs = np.stack(imgs)
+    labels = np.stack(labels)
+
+    model, params = create_unet(jax.random.PRNGKey(0),
+                                input_shape=(1, imgs.shape[1], imgs.shape[2], 3),
+                                widths=(16, 32), blocks_per_stage=1,
+                                n_classes=len(LABELS))
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+
+    # the plant covers ~1% of pixels: weight classes by inverse frequency
+    freq = np.bincount(labels.ravel(), minlength=len(LABELS)).astype(np.float64)
+    w = (freq.sum() / np.maximum(freq, 1.0))
+    w = jnp.asarray(w / w.sum() * len(LABELS), jnp.float32)
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        def loss_fn(p):
+            logits = model.apply(p, x)
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            return (ce * w[y]).mean()
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    loss = None
+    for i in range(steps):
+        params, opt_state, loss = step(params, opt_state, imgs, labels)
+    assert float(loss) < 0.3, f"segmenter failed to train: loss={float(loss)}"
+    return params
+
+
+@pytest.fixture(scope="module")
+def ml_db():
+    with TemporaryDB() as db:
+        scan = generate_ml_scan(db, "synthetic_ml", n_views=36,
+                                width=256, height=256, f=360.0,
+                                plant=_sparse_plant())
+        params = _train_tiny_segmenter(scan)
+        from plant3dvision_tpu.models.checkpoint import save_model
+        models_fs = scan.get_fileset("models", create=True)
+        save_model(models_fs.create_file("tiny_seg"), params,
+                   {"label_names": LABELS, "widths": [16, 32],
+                    "blocks_per_stage": 1})
+        yield db
+
+
+def test_cnn_segmented_point_cloud(ml_db):
+    """CNN -> averaging carve -> multiclass pcd -> reprojection labels."""
+    ctx = RunContext(ml_db, "synthetic_ml", load_toml(CONFIG))
+    run_task(ctx, "SegmentedPointCloud", report=False)
+    fs = ctx.scan.get_fileset(ctx.get_task("SegmentedPointCloud").task_id())
+    f = fs.get_files()[0]
+    labels = f.get_metadata("labels")
+    counts = {l: labels.count(l) for l in set(labels)}
+    assert counts.get("stem", 0) > 100
+    assert counts.get("fruit", 0) > 100
+
+
+def test_organ_path_angle_accuracy(ml_db):
+    """With exact masks, the organ trait path recovers the spiral."""
+    cfg = load_toml(CONFIG)
+    cfg["NamedFilesetExists"] = {"fileset_id": "gt_masks"}
+    cfg["Voxels"]["upstream_mask"] = "NamedFilesetExists"
+    cfg["SegmentedPointCloud"]["upstream_segmentation"] = "NamedFilesetExists"
+    ctx = RunContext(ml_db, "synthetic_ml", cfg)
+    report = run_task(ctx, "AnglesAndInternodes", report=False)
+    assert report["AnglesAndInternodes"]["status"] in ("done", "skipped")
+
+    fs = ctx.scan.get_fileset(report["AnglesAndInternodes"]["fileset"])
+    out = json.loads(fs.get_file("AnglesAndInternodes").read_raw())
+    assert len(out["angles"]) == 6, out["angles"]
+    err = np.mean([min(abs(a - 137.5), abs(360 - a - 137.5))
+                   for a in out["angles"]])
+    assert err < 10.0, out["angles"]
+    np.testing.assert_allclose(out["internodes"], 14.0, atol=3.0)

@@ -1,0 +1,70 @@
+"""Hierarchical carve must be bit-identical to the dense carve."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from plant3dvision_tpu.ops.carving import carve
+from plant3dvision_tpu.ops.carving_hier import carve_hierarchical
+
+from .test_ops import _synthetic_views
+
+
+def _dense(masks, cams, valid, origin, vs, shape):
+    return np.asarray(carve(jnp.asarray(masks), jnp.asarray(cams),
+                            jnp.asarray(valid), origin, vs, shape))
+
+
+def test_identical_basic():
+    masks, cams = _synthetic_views(n_views=12, H=128, W=128, radius=8.0,
+                                   dist_cam=50.0)
+    valid = np.ones(len(masks), bool)
+    shape = (40, 40, 40)
+    origin = np.array([-20.0, -20.0, -20.0], np.float32)
+    d = _dense(masks, cams, valid, origin, 1.0, shape)
+    h = carve_hierarchical(masks, cams, valid, origin, 1.0, shape)
+    np.testing.assert_array_equal(d, h)
+    assert (h == 1).sum() > 100  # there is an object
+
+
+def test_identical_noncubic_halfvox_partial_frustum():
+    # grid partly outside every view's frustum + non-pow2 dims + vs=0.5
+    masks, cams = _synthetic_views(n_views=7, H=96, W=160, radius=5.0,
+                                   dist_cam=30.0)
+    valid = np.ones(7, bool)
+    shape = (37, 29, 53)
+    origin = np.array([-9.0, -7.0, -25.0], np.float32)
+    d = _dense(masks, cams, valid, origin, 0.5, shape)
+    h = carve_hierarchical(masks, cams, valid, origin, 0.5, shape)
+    np.testing.assert_array_equal(d, h)
+
+
+def test_identical_with_invalid_views():
+    masks, cams = _synthetic_views(n_views=10, H=128, W=128, radius=8.0,
+                                   dist_cam=50.0)
+    valid = np.ones(10, bool)
+    valid[3] = False
+    valid[7] = False
+    # poison the invalid views so any leakage shows up
+    masks[3] = 0
+    masks[7] = 255
+    shape = (32, 32, 32)
+    origin = np.array([-16.0, -16.0, -16.0], np.float32)
+    d = _dense(masks, cams, valid, origin, 1.0, shape)
+    h = carve_hierarchical(masks, cams, valid, origin, 1.0, shape)
+    np.testing.assert_array_equal(d, h)
+
+
+def test_identical_random_masks():
+    # worst case for the hierarchy: speckle masks leave everything undecided
+    rng = np.random.default_rng(0)
+    masks, cams = _synthetic_views(n_views=6, H=64, W=64, radius=6.0,
+                                   dist_cam=40.0)
+    masks = (rng.random(masks.shape) > 0.5).astype(np.uint8) * 255
+    valid = np.ones(6, bool)
+    shape = (24, 24, 24)
+    origin = np.array([-12.0, -12.0, -12.0], np.float32)
+    d = _dense(masks, cams, valid, origin, 1.0, shape)
+    h = carve_hierarchical(masks, cams, valid, origin, 1.0, shape)
+    np.testing.assert_array_equal(d, h)

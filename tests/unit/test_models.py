@@ -1,0 +1,79 @@
+"""UNet model tests: shapes, training step, checkpoint roundtrip."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def test_unet_forward_shape():
+    from plant3dvision_tpu.models import create_unet
+    model, params = create_unet(jax.random.PRNGKey(0),
+                                input_shape=(1, 64, 64, 3),
+                                widths=(16, 32), blocks_per_stage=1,
+                                n_classes=3)
+    logits = model.apply(params, jnp.zeros((2, 64, 64, 3)))
+    assert logits.shape == (2, 64, 64, 3)
+    assert logits.dtype == jnp.float32
+
+
+def test_train_step_reduces_loss():
+    import optax
+    from plant3dvision_tpu.models import create_unet
+    from plant3dvision_tpu.parallel import make_mesh, make_train_step
+    from plant3dvision_tpu.parallel.train import shard_params
+
+    mesh = make_mesh({"dp": 2})
+    model, params = create_unet(jax.random.PRNGKey(0),
+                                input_shape=(1, 32, 32, 3),
+                                widths=(8, 16), blocks_per_stage=1,
+                                n_classes=2)
+    opt = optax.adam(1e-2)
+    with mesh:
+        params = shard_params(params, mesh)
+        opt_state = opt.init(params)
+        step, shard_batch = make_train_step(model, opt, mesh)
+        rng = np.random.default_rng(0)
+        # learnable rule: label = 1 where red channel > 0.5
+        imgs = rng.random((4, 32, 32, 3)).astype(np.float32)
+        labels = (imgs[..., 0] > 0.5).astype(np.int32)
+        imgs_d, labels_d = shard_batch(imgs, labels)
+        losses = []
+        for _ in range(30):
+            params, opt_state, loss = step(params, opt_state, imgs_d, labels_d)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.75, losses[::10]
+
+
+def test_checkpoint_roundtrip(temp_db):
+    from plant3dvision_tpu.models import create_unet
+    from plant3dvision_tpu.models.checkpoint import load_model, save_model
+
+    model, params = create_unet(jax.random.PRNGKey(1),
+                                input_shape=(1, 32, 32, 3),
+                                widths=(8, 16), blocks_per_stage=1,
+                                n_classes=2)
+    scan = temp_db.create_scan("models_scan")
+    fs = scan.create_fileset("models")
+    f = fs.create_file("tiny")
+    save_model(f, params, {"label_names": ["background", "stem"],
+                           "widths": [8, 16], "blocks_per_stage": 1})
+    model2, params2, config = load_model(f)
+    assert config["label_names"] == ["background", "stem"]
+    x = jnp.ones((1, 32, 32, 3))
+    np.testing.assert_allclose(np.asarray(model.apply(params, x)),
+                               np.asarray(model2.apply(params2, x)),
+                               atol=1e-6)
+
+
+def test_segmentation_inference_layout():
+    from plant3dvision_tpu.models import create_unet
+    from plant3dvision_tpu.models.unet import segmentation_inference
+    model, params = create_unet(jax.random.PRNGKey(0),
+                                input_shape=(1, 32, 32, 3),
+                                widths=(8, 16), blocks_per_stage=1,
+                                n_classes=4)
+    imgs = (np.random.rand(3, 40, 48, 3) * 255).astype(np.uint8)  # non-mult-32
+    probs = segmentation_inference(model, params, imgs, batch_size=2)
+    assert probs.shape == (3, 4, 40, 48)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-4)
