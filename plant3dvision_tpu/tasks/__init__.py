@@ -23,3 +23,23 @@ from .proc3d import (  # noqa: F401
     OrganSegmentation,
 )
 from .arabidopsis import TreeGraph, AnglesAndInternodes  # noqa: F401
+from .colmap import Colmap  # noqa: F401
+from ..runtime.task import NamedFilesetExists  # noqa: F401
+from .calibration import (  # noqa: F401
+    CreateCharucoBoard,
+    DetectCharuco,
+    IntrinsicCalibration,
+    ExtrinsicCalibration,
+    IntrinsicCalibrationExists,
+    ExtrinsicCalibrationExists,
+)
+from .evaluation import (  # noqa: F401
+    AnglesAndInternodesEvaluation,
+    CylinderRadiusEstimation,
+    CylinderRadiusGroundTruth,
+    PointCloudEvaluation,
+    PointCloudGroundTruth,
+    Segmentation2DEvaluation,
+    SegmentedPointCloudEvaluation,
+    VoxelsEvaluation,
+)

@@ -1,0 +1,199 @@
+"""COLMAP layer tests: binary model round-trip + full Colmap task driven
+against a fake `colmap` executable (role of the reference's
+tests/unit/test_colmap.py, which needs the real binary)."""
+
+import json
+import os
+import stat
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import plant3dvision_tpu.colmap.read_model as rm
+
+
+def test_model_binary_roundtrip(tmp_path):
+    cameras = {1: rm.Camera(1, "OPENCV", 640, 480,
+                            np.array([500.0, 510.0, 320.0, 240.0,
+                                      -0.1, 0.01, 0.001, -0.002]))}
+    q = rm.rotmat2qvec(np.eye(3))
+    images = {
+        1: rm.Image(1, q, np.array([0.1, 0.2, 0.3]), 1, "00000_rgb.jpg",
+                    np.array([[1.0, 2.0], [3.0, 4.0]]),
+                    np.array([7, -1], dtype=np.int64)),
+    }
+    points = {7: rm.Point3D(7, np.array([1.0, 2.0, 3.0]),
+                            np.array([10, 20, 30], dtype=np.uint8), 0.5,
+                            np.array([1], dtype=np.int32),
+                            np.array([0], dtype=np.int32))}
+    rm.write_cameras_binary(cameras, tmp_path / "cameras.bin")
+    rm.write_images_binary(images, tmp_path / "images.bin")
+    rm.write_points3d_binary(points, tmp_path / "points3D.bin")
+
+    c2, i2, p2 = rm.read_model(tmp_path)
+    assert c2[1].model == "OPENCV"
+    np.testing.assert_allclose(c2[1].params, cameras[1].params)
+    np.testing.assert_allclose(i2[1].qvec, q)
+    assert i2[1].name == "00000_rgb.jpg"
+    np.testing.assert_allclose(i2[1].xys, images[1].xys)
+    np.testing.assert_allclose(p2[7].xyz, [1, 2, 3])
+    assert p2[7].image_ids.tolist() == [1]
+
+
+def test_qvec_rotmat_roundtrip(rng):
+    for _ in range(10):
+        v = rng.standard_normal(3)
+        angle = rng.uniform(0, np.pi)
+        v = v / np.linalg.norm(v)
+        K = np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+        R = np.eye(3) + np.sin(angle) * K + (1 - np.cos(angle)) * K @ K
+        q = rm.rotmat2qvec(R)
+        np.testing.assert_allclose(rm.qvec2rotmat(q), R, atol=1e-10)
+
+
+FAKE_COLMAP = r'''#!/usr/bin/env python3
+"""Fake colmap binary: emits a plausible aligned sparse model built from
+poses.txt, so the runner/task plumbing can be tested hermetically."""
+import sys, struct
+from pathlib import Path
+
+args = dict(zip(sys.argv[2::2], sys.argv[3::2]))
+sub = sys.argv[1]
+
+def write_model(out_dir, poses, image_names):
+    sys.path.insert(0, "%REPO%")
+    import numpy as np
+    import plant3dvision_tpu.colmap.read_model as rm
+    from plant3dvision_tpu.camera import pose_to_extrinsics
+    out_dir.mkdir(parents=True, exist_ok=True)
+    cameras = {1: rm.Camera(1, "SIMPLE_RADIAL", 64, 64,
+                            np.array([80.0, 32.0, 32.0, 0.0]))}
+    images = {}
+    for i, (name, c) in enumerate(zip(image_names, poses), start=1):
+        R, t = pose_to_extrinsics(c, (0, 0, 0))
+        images[i] = rm.Image(i, rm.rotmat2qvec(R), t, 1, name,
+                             np.zeros((0, 2)), np.zeros(0, dtype=np.int64))
+    pts = {j: rm.Point3D(j, np.random.RandomState(j).uniform(-10, 10, 3),
+                         np.array([0, 200, 0], dtype=np.uint8), 0.3,
+                         np.zeros(0, np.int32), np.zeros(0, np.int32))
+           for j in range(1, 51)}
+    rm.write_cameras_binary(cameras, out_dir / "cameras.bin")
+    rm.write_images_binary(images, out_dir / "images.bin")
+    rm.write_points3d_binary(pts, out_dir / "points3D.bin")
+
+if sub == "mapper":
+    import os, math
+    wd = Path(args["--database_path"]).parent
+    poses, names = [], []
+    pf = wd / "poses.txt"
+    if pf.exists():
+        for line in pf.read_text().splitlines():
+            parts = line.split()
+            names.append(parts[0])
+            poses.append([float(x) for x in parts[1:4]])
+    if os.environ.get("FAKE_COLMAP_TRUE_CIRCLE"):
+        n = len(names)
+        poses = [[40*math.cos(2*math.pi*i/n), 40*math.sin(2*math.pi*i/n), 10.0]
+                 for i in range(n)]
+    write_model(Path(args["--output_path"]) / "0", poses, names)
+elif sub == "model_aligner":
+    import shutil
+    src, dst = Path(args["--input_path"]), Path(args["--output_path"])
+    dst.mkdir(parents=True, exist_ok=True)
+    for f in src.glob("*.bin"):
+        shutil.copy(f, dst / f.name)
+# all other subcommands: no-op success
+sys.exit(0)
+'''
+
+
+@pytest.fixture()
+def fake_colmap(tmp_path):
+    exe = tmp_path / "colmap"
+    exe.write_text(FAKE_COLMAP.replace("%REPO%",
+                                       str(Path(__file__).resolve().parents[2])))
+    exe.chmod(exe.stat().st_mode | stat.S_IEXEC)
+    old = os.environ.get("COLMAP_EXE")
+    os.environ["COLMAP_EXE"] = str(exe)
+    yield exe
+    if old is None:
+        os.environ.pop("COLMAP_EXE", None)
+    else:
+        os.environ["COLMAP_EXE"] = old
+
+
+def test_colmap_task_with_fake_binary(temp_db, fake_colmap, tmp_path):
+    from plant3dvision_tpu.runtime import RunContext, run_task
+
+    scan = temp_db.create_scan("s")
+    images = scan.create_fileset("images")
+    n = 12
+    for v in range(n):
+        f = images.create_file(f"{v:05d}_rgb")
+        f.write_raw(b"\xff\xd8fake", "jpg")
+        a = 2 * np.pi * v / n
+        f.set_metadata({"channel": "rgb",
+                        "approximate_pose": [40 * np.cos(a), 40 * np.sin(a),
+                                             10.0, np.degrees(a), 0]})
+
+    os.environ["COLMAP_WD"] = str(tmp_path / "wd")
+    try:
+        ctx = RunContext(temp_db, "s", config={
+            "Colmap": {"distance_threshold": 5.0, "align_pcd": True}})
+        report = run_task(ctx, "Colmap", report=False)
+    finally:
+        os.environ.pop("COLMAP_WD", None)
+    assert report["Colmap"]["status"] == "done"
+
+    fs = ctx.scan.get_fileset(report["Colmap"]["fileset"])
+    cams = json.loads(fs.get_file("cameras").read_raw())
+    imgs = json.loads(fs.get_file("images").read_raw())
+    assert len(imgs) == n
+    assert cams["1"]["model"] == "SIMPLE_RADIAL"
+    assert fs.get_file("sparse") is not None
+    assert fs.get_metadata("bounding_box") is not None
+
+    # per-image export + QC metadata (fake model reproduces CNC poses
+    # exactly, so every pose must be 'correct')
+    for f in images.get_files():
+        cc = f.get_metadata("colmap_camera")
+        assert cc and "rotmat" in cc and "tvec" in cc
+        assert f.get_metadata("pose_estimation") == "correct"
+    ed = json.loads(fs.get_file("euclidean_distances").read_raw())
+    assert ed["mean"] < 1e-6
+
+
+def test_blind_angle_raises(temp_db, fake_colmap, tmp_path):
+    """Corrupt CNC poses for a contiguous arc -> blind-angle retry then
+    failure (reference failure-detection semantics)."""
+    from plant3dvision_tpu.runtime import RunContext, run_task
+    from plant3dvision_tpu.runtime.runner import TaskFailure
+
+    scan = temp_db.create_scan("s2")
+    images = scan.create_fileset("images")
+    n = 12
+    for v in range(n):
+        f = images.create_file(f"{v:05d}_rgb")
+        f.write_raw(b"\xff\xd8fake", "jpg")
+        a = 2 * np.pi * v / n
+        pose = [40 * np.cos(a), 40 * np.sin(a), 10.0, np.degrees(a), 0]
+        if v < 3:  # 90 deg arc of bad poses
+            pose = [pose[0] + 100, pose[1], pose[2], pose[3], 0]
+        f.set_metadata({"channel": "rgb", "approximate_pose": pose})
+
+    os.environ["COLMAP_WD"] = str(tmp_path / "wd2")
+    os.environ["FAKE_COLMAP_TRUE_CIRCLE"] = "1"  # SfM finds the true circle
+    try:
+        ctx = RunContext(temp_db, "s2", config={
+            "Colmap": {"distance_threshold": 5.0, "max_blind_angle": 20.0}})
+        ctx.get_task("Colmap").retry_count = 1  # keep the test fast
+        with pytest.raises(TaskFailure):
+            run_task(ctx, "Colmap", report=False)
+    finally:
+        os.environ.pop("COLMAP_WD", None)
+        os.environ.pop("FAKE_COLMAP_TRUE_CIRCLE", None)
+    # images in the bad arc were flagged
+    flags = [f.get_metadata("pose_estimation") for f in images.get_files()]
+    assert flags.count("incorrect") == 3
