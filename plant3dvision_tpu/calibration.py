@@ -104,6 +104,10 @@ def pose_estimation_figure(cnc_poses, estimated_poses, path=None, scan_id=""):
     import matplotlib.pyplot as plt
 
     ids = sorted(set(cnc_poses) & set(estimated_poses))
+    if not ids:
+        logger.warning("pose_estimation_figure: no common poses to compare")
+        return {"mean_3d_error": None, "std_3d_error": None,
+                "mean_xy_error": None, "mean_z_error": None, "n_poses": 0}
     cnc = np.array([cnc_poses[i][:3] for i in ids], dtype=float)
     est = np.array([estimated_poses[i][:3] for i in ids], dtype=float)
     err3d = np.linalg.norm(cnc - est, axis=1)

@@ -12,7 +12,8 @@ from ..runtime.task import (  # noqa: F401
     VirtualPlantObj,
 )
 from .proc2d import Undistorted, Masks, Segmentation2D  # noqa: F401
-from .cl import Voxels  # noqa: F401
+from .cl import Voxels, VoxelsWithPrior  # noqa: F401
+from .visualization import Visualization  # noqa: F401
 from .proc3d import (  # noqa: F401
     PointCloud,
     TriangleMesh,

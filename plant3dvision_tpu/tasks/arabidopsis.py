@@ -84,13 +84,17 @@ class AnglesAndInternodes(RomiTask):
         oriented-bbox direction method."""
         from ..traits.organs import angles_and_internodes_from_point_cloud
 
+        from ..fsdb.geometry import PointCloud as PCD
+
         infs = self.input()
         if isinstance(infs, (list, tuple)):
             infs = infs[0]
         fs = infs.get(create=False)
         stem_pcds, organ_pcds = [], []
         for f in fs.get_files():
-            pcd = io.read_point_cloud(f)
+            obj = io.read_point_cloud(f)
+            # ClusteredMesh upstream yields meshes; use their vertices
+            pcd = obj if hasattr(obj, "points") else PCD(obj.vertices)
             label = f.get_metadata("label")
             if label == "stem":
                 stem_pcds.append(pcd)
