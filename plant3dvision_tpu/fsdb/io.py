@@ -112,6 +112,8 @@ def write_volume(file: File, volume: np.ndarray) -> None:
 # -- geometry ------------------------------------------------------------
 
 def read_point_cloud(file: File):
+    if file.filename and file.filename.endswith(".obj"):
+        return read_obj(file)
     return plyio.read_ply(file.path())
 
 
@@ -123,11 +125,40 @@ def write_point_cloud(file: File, pcd, ext: str = "ply") -> None:
 
 
 def read_triangle_mesh(file: File):
+    if file.filename and file.filename.endswith(".obj"):
+        return read_obj(file)
     return plyio.read_ply(file.path())
 
 
 def write_triangle_mesh(file: File, mesh, ext: str = "ply") -> None:
     write_point_cloud(file, mesh, ext)
+
+
+def read_obj(file: File):
+    """Wavefront OBJ triangle mesh (the reference's VirtualPlant ground
+    truth format, tasks/evaluation.py:71-130)."""
+    from .geometry import TriangleMesh
+    import numpy as np
+    verts, faces = [], []
+    with open(file.path() if isinstance(file, File) else file) as fh:
+        for line in fh:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "v":
+                verts.append([float(x) for x in parts[1:4]])
+            elif parts[0] == "f":
+                idx = [int(p.split("/")[0]) - 1 for p in parts[1:]]
+                for k in range(1, len(idx) - 1):
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    return TriangleMesh(np.asarray(verts, dtype=float),
+                        np.asarray(faces, dtype=np.int64))
+
+
+def write_obj(file: File, mesh) -> None:
+    lines = [f"v {x} {y} {z}" for x, y, z in mesh.vertices]
+    lines += [f"f {a + 1} {b + 1} {c + 1}" for a, b, c in mesh.triangles]
+    file.write_raw(("\n".join(lines) + "\n").encode(), "obj")
 
 
 # -- graphs --------------------------------------------------------------

@@ -1,0 +1,156 @@
+"""UNet training pipeline (role of the reference's romiseg training,
+configs/training_seg.toml): train the organ segmenter on labeled scans
+(images + per-label mask filesets) with the dp x tp sharded step.
+
+CLI:
+    python -m plant3dvision_tpu.models.train <db>/<scan> \
+        --gt-fileset gt_masks --epochs 20 --out-scan models
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from ..runtime.log import configure_logger
+
+logger = configure_logger(__name__)
+
+
+def load_dataset(scan, gt_fileset="gt_masks", labels=None, max_images=None):
+    """Stack (images, int labels) from a scan's images + GT mask filesets."""
+    from ..fsdb import io
+
+    images_fs = scan.get_fileset("images")
+    gt_fs = scan.get_fileset(gt_fileset)
+    if labels is None:
+        labels = gt_fs.get_metadata("label_names")
+    imgs, labs = [], []
+    files = images_fs.get_files()
+    if max_images:
+        files = files[:max_images]
+    for f in files:
+        img = io.read_image(f)
+        if img.ndim == 2:
+            img = np.repeat(img[..., None], 3, axis=-1)
+        shot = f.get_metadata("shot_id")
+        lab = np.zeros(img.shape[:2], np.int32)
+        for li, name in enumerate(labels):
+            if name == "background":
+                continue
+            for g in gt_fs.get_files({"shot_id": shot, "channel": name}):
+                lab[io.read_image(g) > 0] = li
+        imgs.append(img[..., :3].astype(np.float32) / 255.0)
+        labs.append(lab)
+    return np.stack(imgs), np.stack(labs), list(labels)
+
+
+def train(images, labels_int, label_names, widths=(32, 64, 128),
+          blocks_per_stage=1, epochs=20, batch_size=4, lr=3e-3, seed=0,
+          use_mesh=True, log_every=10):
+    """Train a ResUNet; returns (params, config, history)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from . import create_unet
+    from ..parallel import make_mesh, make_train_step
+    from ..parallel.mesh import best_dp_tp
+    from ..parallel.train import shard_params
+
+    n, H, W, _ = images.shape
+    model, params = create_unet(jax.random.PRNGKey(seed),
+                                input_shape=(1, H, W, 3),
+                                widths=tuple(widths),
+                                blocks_per_stage=blocks_per_stage,
+                                n_classes=len(label_names))
+    optimizer = optax.adamw(lr)
+
+    # class weights (plants cover ~1% of pixels)
+    freq = np.bincount(labels_int.ravel(), minlength=len(label_names)).astype(float)
+    w = freq.sum() / np.maximum(freq, 1.0)
+    w = jnp.asarray(w / w.sum() * len(label_names), jnp.float32)
+
+    devices = jax.devices()
+    if use_mesh and len(devices) > 1:
+        mesh = make_mesh(best_dp_tp(len(devices)))
+        ctx = mesh
+    else:
+        mesh = None
+        import contextlib
+        ctx = contextlib.nullcontext()
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        def loss_fn(p):
+            logits = model.apply(p, x)
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
+            return (ce * w[y]).mean()
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    history = []
+    rng = np.random.default_rng(seed)
+    with ctx:
+        if mesh is not None:
+            params = shard_params(params, mesh)
+        opt_state = optimizer.init(params)
+        steps_per_epoch = max(n // batch_size, 1)
+        for epoch in range(epochs):
+            order = rng.permutation(n)
+            for s in range(steps_per_epoch):
+                sel = order[s * batch_size:(s + 1) * batch_size]
+                if len(sel) < batch_size:
+                    sel = np.concatenate([sel, order[: batch_size - len(sel)]])
+                params, opt_state, loss = step(params, opt_state,
+                                               jnp.asarray(images[sel]),
+                                               jnp.asarray(labels_int[sel]))
+            history.append(float(loss))
+            if epoch % log_every == 0 or epoch == epochs - 1:
+                logger.info(f"epoch {epoch}: loss={float(loss):.4f}")
+
+    config = {"label_names": label_names, "widths": list(widths),
+              "blocks_per_stage": blocks_per_stage}
+    return params, config, history
+
+
+def main(argv=None):
+    from ..fsdb import FSDB
+    from ..runtime.cli import parse_dataset
+    from .checkpoint import save_model
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("dataset", help="<db>/<scan> with images + GT masks")
+    ap.add_argument("--gt-fileset", default="gt_masks")
+    ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--batch-size", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--widths", default="32,64,128")
+    ap.add_argument("--model-id", default="unet_seg")
+    ap.add_argument("--max-images", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    db_path, scan_id = parse_dataset(args.dataset)
+    db = FSDB(db_path)
+    db.connect(unsafe=True)
+    scan = db.get_scan(scan_id)
+    images, labels_int, label_names = load_dataset(
+        scan, args.gt_fileset, max_images=args.max_images)
+    logger.info(f"dataset: {images.shape}, labels {label_names}")
+    widths = tuple(int(x) for x in args.widths.split(","))
+    params, config, history = train(images, labels_int, label_names,
+                                    widths=widths, epochs=args.epochs,
+                                    batch_size=args.batch_size, lr=args.lr)
+    models_fs = scan.get_fileset("models", create=True)
+    f = models_fs.get_file(args.model_id, create=True)
+    save_model(f, params, config)
+    logger.info(f"saved model '{args.model_id}' (final loss {history[-1]:.4f})")
+    db.disconnect()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

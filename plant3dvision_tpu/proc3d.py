@@ -78,6 +78,45 @@ def vol2pcd(volume, origin, voxel_size, level_set_value=0, dist_cap=16):
     return PointCloud(pts, normals).normalize_normals()
 
 
+def pcd2mesh(pcd: PointCloud, voxel_size=1.0, depth_pad=4):
+    """Oriented point cloud -> watertight triangle mesh.
+
+    Role of the reference's CGAL Poisson reconstruction (proc3d.py:67-89,
+    romicgal.poisson_mesh): here the implicit function is a voxelized
+    signed-distance field (occupancy from the points, sign resolved by the
+    EDT inside/outside split), extracted with the native marching
+    tetrahedra. Requires normals only for API parity (the EDT sign already
+    encodes inside/outside for closed surfaces).
+    """
+    import jax.numpy as jnp
+
+    from .native import marching_cubes
+    from .ops.edt import signed_distance
+
+    pts = np.asarray(pcd.points if hasattr(pcd, "points") else pcd)
+    vol, origin = pcd2vol(pts, voxel_size, zero_padding=depth_pad)
+    occ = (vol > 0).astype(np.float32)
+    # close small gaps between surface samples before extracting
+    from scipy.ndimage import binary_closing, binary_fill_holes
+    occ = binary_closing(occ > 0, iterations=2)
+    occ = binary_fill_holes(occ).astype(np.float32)
+    sd = np.asarray(signed_distance(jnp.asarray(occ), cap=8))
+    mesh = marching_cubes(sd, level=0.0)
+    mesh.vertices = index2point(mesh.vertices, origin, voxel_size)
+    return mesh
+
+
+def skeletonize(points, root_index=None, bin_size=2.0, k=10, stem_axis=2):
+    """Curve skeleton of a point set (role of reference proc3d.skeletonize,
+    CGAL mean-curvature-flow): Xu distance-to-root clustering. Returns
+    (nodes, edges)."""
+    points = np.asarray(points)
+    if root_index is None:
+        root_index = int(np.argmin(points[:, stem_axis]))
+    return skeleton_from_distance_to_root_clusters(points, root_index,
+                                                   bin_size, k)
+
+
 def pcd2vol(pcd_points, voxel_size, zero_padding=0):
     """Voxelize a point cloud: counts per cell (reference proc3d.py:92-124)."""
     pcd_points = np.asarray(pcd_points)

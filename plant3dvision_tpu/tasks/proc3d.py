@@ -133,29 +133,105 @@ class CurveSkeleton(RomiTask):
     """Point cloud / mesh -> curve skeleton {points, lines} JSON.
 
     The reference calls CGAL mean-curvature-flow skeletonization
-    (tasks/proc3d.py:524-558). TPU-native replacement: the Xu
-    distance-to-root-clusters method the reference ships as an alternative
-    (proc3d.py:392-426) — geodesic level sets over the point cloud.
+    (tasks/proc3d.py:524-558). Two TPU-era methods here:
+
+    - method="graph" (default): the Xu distance-to-root-clusters method the
+      reference ships as an alternative (proc3d.py:392-426) — geodesic
+      level sets over the point cloud, host Dijkstra.
+    - method="fim": fully TPU-native — eikonal geodesic distance on the
+      voxel grid (ops.eikonal), distance-bin clustering of occupied voxels
+      (the productionized version of the reference's experimental
+      geodesics.py:15-77).
     """
 
     upstream_task = Parameter(default="PointCloud")
+    method = Parameter(default="graph")
     bin_size = Parameter(default=4.0)
     k = Parameter(default=10)
     stem_axis = Parameter(default=2)
     stem_axis_inverted = Parameter(default=False)
 
     def run(self):
-        obj = io.read_point_cloud(self.input_file())
-        points = obj.points if hasattr(obj, "points") else obj.vertices
-        if bool(self.stem_axis_inverted):
-            root_index = int(np.argmax(points[:, int(self.stem_axis)]))
+        if str(self.method) == "fim":
+            centers, lines = self._skeleton_fim()
         else:
-            root_index = int(np.argmin(points[:, int(self.stem_axis)]))
-        centers, lines = proc3d.skeleton_from_distance_to_root_clusters(
-            points, root_index, float(self.bin_size), int(self.k))
+            obj = io.read_point_cloud(self.input_file())
+            points = obj.points if hasattr(obj, "points") else obj.vertices
+            if bool(self.stem_axis_inverted):
+                root_index = int(np.argmax(points[:, int(self.stem_axis)]))
+            else:
+                root_index = int(np.argmin(points[:, int(self.stem_axis)]))
+            centers, lines = proc3d.skeleton_from_distance_to_root_clusters(
+                points, root_index, float(self.bin_size), int(self.k))
         outfile = self.output_file()
         io.write_json(outfile, {"points": centers.tolist(),
                                 "lines": lines.tolist()})
+
+    def _skeleton_fim(self):
+        """Eikonal skeleton on the carved volume (one jitted TPU solve)."""
+        import jax.numpy as jnp
+        import scipy.sparse as sp
+        from scipy.sparse.csgraph import minimum_spanning_tree
+        from ..ops.eikonal import geodesic_distance
+
+        voxels_fs = self.ctx.get_task("Voxels").output().get(create=False)
+        vfile = voxels_fs.get_files()[0]
+        vols = io.read_npz(vfile)
+        vol = vols[list(vols.keys())[0]]
+        origin = np.asarray(vfile.get_metadata("origin"))
+        vs = float(vfile.get_metadata("voxel_size"))
+
+        mask = vol > 0.5
+        axis = int(self.stem_axis)
+        occ_any = np.any(mask, axis=tuple(a for a in range(3) if a != axis))
+        planes = np.nonzero(occ_any)[0]
+        root_plane = planes.max() if bool(self.stem_axis_inverted) else planes.min()
+        seeds = np.zeros_like(mask)
+        sl = [slice(None)] * 3
+        sl[axis] = root_plane
+        seeds[tuple(sl)] = mask[tuple(sl)]
+
+        dist = np.asarray(geodesic_distance(jnp.asarray(mask), jnp.asarray(seeds)))
+        reach = mask & (dist < 1e9)
+        idx = np.argwhere(reach)
+        d = dist[reach]
+        bins = np.floor(d / float(self.bin_size)).astype(np.int64)
+
+        # cluster = connected component within each distance bin
+        import scipy.ndimage as ndi
+        node_cluster = np.full(len(idx), -1, dtype=np.int64)
+        centers, counts = [], []
+        next_id = 0
+        vol_bins = np.full(mask.shape, -1, dtype=np.int64)
+        vol_bins[tuple(idx.T)] = bins
+        for b in range(int(bins.max()) + 1):
+            comp, n = ndi.label(vol_bins == b)
+            for c in range(1, n + 1):
+                sel = comp == c
+                coords = np.argwhere(sel)
+                centers.append(coords.mean(axis=0))
+                vol_bins[sel] = -1000 - next_id  # mark with cluster id
+                next_id += 1
+        centers = np.asarray(centers)
+        cluster_of = -(vol_bins + 1000)  # >=0 where clustered
+
+        # edges between 6-adjacent clusters
+        edges = set()
+        for axis_ in range(3):
+            a = cluster_of.take(range(0, mask.shape[axis_] - 1), axis=axis_)
+            b = cluster_of.take(range(1, mask.shape[axis_]), axis=axis_)
+            ok = (a >= 0) & (b >= 0) & (a != b)
+            for u, v in zip(a[ok].ravel(), b[ok].ravel()):
+                edges.add((min(u, v), max(u, v)))
+        edges = np.asarray(sorted(edges), dtype=np.int64)
+        if len(edges):
+            w = np.linalg.norm(centers[edges[:, 0]] - centers[edges[:, 1]], axis=1)
+            g = sp.coo_matrix((w, (edges[:, 0], edges[:, 1])),
+                              shape=(len(centers), len(centers)))
+            mst = sp.coo_matrix(minimum_spanning_tree(g.maximum(g.T)))
+            edges = np.stack([mst.row, mst.col], axis=1)
+        centers_world = proc3d.index2point(centers, origin, vs)
+        return centers_world, edges
 
 
 class SegmentedPointCloud(RomiTask):

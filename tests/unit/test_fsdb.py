@@ -139,3 +139,17 @@ def test_mesh_connected_components():
     big = mesh.largest_connected_component()
     assert len(big.triangles) == 3
     assert len(big.vertices) == 4
+
+
+def test_obj_roundtrip(temp_db):
+    from plant3dvision_tpu.fsdb.geometry import TriangleMesh
+    scan = temp_db.create_scan("s_obj")
+    fs = scan.create_fileset("out")
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], dtype=float)
+    tris = np.array([[0, 1, 2], [0, 1, 3]])
+    f = fs.create_file("VirtualPlant")
+    io.write_obj(f, TriangleMesh(verts, tris))
+    assert f.filename == "VirtualPlant.obj"
+    back = io.read_triangle_mesh(f)
+    np.testing.assert_allclose(back.vertices, verts)
+    np.testing.assert_array_equal(back.triangles, tris)

@@ -65,3 +65,15 @@ def test_outward_orientation():
     # consistent orientation: all normals point the same way radially
     frac_out = (cos > 0).mean()
     assert frac_out > 0.99 or frac_out < 0.01, f"mixed orientation: {frac_out}"
+
+
+def test_pcd2mesh_sphere():
+    from plant3dvision_tpu.fsdb.geometry import PointCloud
+    from plant3dvision_tpu.proc3d import pcd2mesh
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal((20000, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    mesh = pcd2mesh(PointCloud(v * 10.0), voxel_size=1.0)
+    assert len(mesh.triangles) > 2000
+    d = np.linalg.norm(mesh.vertices - mesh.vertices.mean(0), axis=1)
+    assert abs(d.mean() - 10.0) < 1.0
