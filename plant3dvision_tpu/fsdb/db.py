@@ -157,7 +157,26 @@ class Scan:
                 fs.files[f_entry["id"]] = File(fs, f_entry["id"], f_entry.get("file"))
             self.filesets[fs.id] = fs
 
+    def deferred_store(self):
+        """Context manager batching manifest writes: inside the block,
+        store() is a no-op; one store happens on exit. Makes concurrent
+        File.write_raw calls safe (used by FileByFileTask's thread pool)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _ctx():
+            self._defer_store = True
+            try:
+                yield self
+            finally:
+                self._defer_store = False
+                self.store()
+
+        return _ctx()
+
     def store(self):
+        if getattr(self, "_defer_store", False):
+            return
         manifest = {
             "filesets": [
                 {

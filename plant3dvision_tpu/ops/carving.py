@@ -222,16 +222,27 @@ class Backprojection:
         return self.process_label(files, camera_metadata, None, invert=invert)
 
     def process_label(self, files, camera_metadata, label=None, invert=False):
+        from concurrent.futures import ThreadPoolExecutor
         from ..fsdb import io
+
+        selected = []
         for fi in files:
             if label is not None and fi.get_metadata("channel") != label:
                 continue
             cam = fi.get_metadata(camera_metadata, default=None)
             if cam is None:
                 continue
+            selected.append((fi, cam))
+
+        def _load(item):
+            fi, cam = item
             mask = io.read_image(fi)
             if invert:
                 mask = np.invert(mask)
-            c = camera_from_metadata(cam)
-            self.process_view(c[0:4], c[4:13], c[13:16], mask)
+            return camera_from_metadata(cam), mask
+
+        # PNG decode dominates mask ingestion: load in parallel
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            for c, mask in ex.map(_load, selected):
+                self.process_view(c[0:4], c[4:13], c[13:16], mask)
         return self.get_values()

@@ -105,3 +105,44 @@ def compute_masks_batch(images, **kwargs):
     """vmapped compute_mask over a stacked (N, H, W, C) image batch."""
     fn = functools.partial(compute_mask, **kwargs)
     return jax.vmap(fn)(images)
+
+
+def compute_mask_numpy(image, filter_type="linear", coefs=(0.0, 1.0, 0.0),
+                       threshold=0.3, dilation_radius=0, binarize=True):
+    """Pure-numpy compute_mask (identical semantics).
+
+    The standalone Masks task uses this path: thresholding a uint8 image is
+    memory-bound host work living between two PNG codecs — shipping the
+    bytes to the accelerator per file costs more than the op. The jitted
+    version exists for the fused on-device pipeline (tasks.fused).
+    """
+    img = np.asarray(image)
+    if img.dtype == np.uint8:
+        x = img.astype(np.float32) / 255.0
+    elif img.dtype == np.uint16:
+        x = img.astype(np.float32) / 65535.0
+    else:
+        x = img.astype(np.float32)
+        lo, hi = x.min(), x.max()
+        x = (x - lo) / max(hi - lo, 1e-12)
+    if filter_type == "linear":
+        c = np.asarray(coefs, np.float32)
+        out = x[..., : len(c)] @ c
+    elif filter_type == "excess_green":
+        s = np.maximum(x[..., :3].sum(axis=-1, keepdims=True), 1e-12)
+        chroma = x[..., :3] / s
+        out = 2 * chroma[..., 1] - chroma[..., 0] - chroma[..., 2]
+    else:
+        raise ValueError(f"Unknown mask filter type: {filter_type}")
+    if not binarize:
+        return np.clip(out, 0.0, 1.0)
+    m = out > threshold
+    if dilation_radius > 0:
+        from scipy.ndimage import binary_dilation as nd_dilation
+        r = int(dilation_radius)
+        size = 2 * r + 1
+        fp = np.zeros((size, size), bool)
+        for dy, dx in _disk_offsets(r):
+            fp[dy + r, dx + r] = True
+        m = nd_dilation(m, structure=fp)
+    return m.astype(np.float32)

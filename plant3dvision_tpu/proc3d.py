@@ -34,33 +34,47 @@ def point2index(points, origin, voxel_size):
 
 # -- volume -> point cloud (reference vol2pcd, proc3d.py:490-570) --------
 
+def _vol2pcd_dense(v, level_set_value, cap):
+    from .ops.edt import signed_distance
+    from .ops.filters import gaussian_filter, gradient
+    import jax.numpy as jnp
+
+    dist = signed_distance(v, cap)
+    gx, gy, gz = gradient(dist)
+    gx = gaussian_filter(gx, 1.0)
+    gy = gaussian_filter(gy, 1.0)
+    gz = gaussian_filter(gz, 1.0)
+    on_edge = ((dist > -level_set_value)
+               & (dist <= -level_set_value + np.sqrt(3)))
+    return dist, gx, gy, gz, on_edge
+
+
+_vol2pcd_dense_jit = None
+
+
 def vol2pcd(volume, origin, voxel_size, level_set_value=0, dist_cap=16):
     """Binary/score volume -> surface point cloud with outward normals.
 
     Same algorithm as the reference: signed distance from two EDTs,
     Gaussian-smoothed gradient normals, points extracted on the level-set
     band (-l, -l + sqrt(3)] and slid along the normal onto the level set.
-    The dense stages are one jitted TPU program; the final point gather is
-    vectorized numpy (the reference uses a joblib loop per point).
+    The dense stages are one jitted TPU program (cached across calls); the
+    final point gather is vectorized numpy (the reference uses a joblib
+    loop per point).
     """
+    import functools
+    import jax
     import jax.numpy as jnp
-    from .ops.edt import signed_distance
-    from .ops.filters import gaussian_filter, gradient
+
+    global _vol2pcd_dense_jit
+    if _vol2pcd_dense_jit is None:
+        _vol2pcd_dense_jit = jax.jit(_vol2pcd_dense,
+                                     static_argnames=("cap",))
 
     vol = np.asarray(volume)
     cap = int(min(dist_cap + level_set_value + 4, max(vol.shape)))
-
-    def _dense(v):
-        dist = signed_distance(v, cap)
-        gx, gy, gz = gradient(dist)
-        gx = gaussian_filter(gx, 1.0)
-        gy = gaussian_filter(gy, 1.0)
-        gz = gaussian_filter(gz, 1.0)
-        on_edge = (dist > -level_set_value) & (dist <= -level_set_value + np.sqrt(3))
-        return dist, gx, gy, gz, on_edge
-
-    import jax
-    dist, gx, gy, gz, on_edge = jax.jit(_dense)(jnp.asarray(vol))
+    dist, gx, gy, gz, on_edge = _vol2pcd_dense_jit(
+        jnp.asarray(vol, jnp.float32), jnp.float32(level_set_value), cap)
     dist = np.asarray(dist)
     gx, gy, gz = np.asarray(gx), np.asarray(gy), np.asarray(gz)
     on_edge = np.asarray(on_edge)

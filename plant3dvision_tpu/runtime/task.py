@@ -251,12 +251,15 @@ class FileByFileTask(RomiTask):
     (reference: Undistorted/Masks, tasks/proc2d.py)."""
 
     query = Parameter(default={})
+    n_io_threads = Parameter(default=8, significant=False)
 
     def f(self, fin, outfs):
         """Process one input File; return the output File (or None to skip)."""
         raise NotImplementedError
 
     def run(self):
+        from concurrent.futures import ThreadPoolExecutor
+
         inp = self.input()
         if isinstance(inp, (list, tuple)):
             inp = inp[0]
@@ -264,13 +267,24 @@ class FileByFileTask(RomiTask):
         outfs = self.output().get()
         files = infs.get_files(query=self.query or None)
         logger.info(f"{self.get_task_family()}: processing {len(files)} files")
-        for fin in files:
+
+        def _one(fin):
             fout = self.f(fin, outfs)
             if fout is not None:
                 md = fin.get_metadata()
-                out_md = fout.get_metadata()
-                md.update(out_md)  # keep anything f() already set
+                md.update(fout.get_metadata())  # keep anything f() set
                 fout.set_metadata(md)
+
+        # image decode/encode dominates; threads hide the codec latency
+        # (device compute serializes on the accelerator regardless)
+        with self.ctx.scan.deferred_store():
+            n = max(int(self.n_io_threads), 1)
+            if n == 1 or len(files) < 4:
+                for fin in files:
+                    _one(fin)
+            else:
+                with ThreadPoolExecutor(max_workers=n) as ex:
+                    list(ex.map(_one, files))
 
 
 # -- marker / utility tasks ---------------------------------------------

@@ -54,7 +54,7 @@ class Masks(FileByFileTask):
     threshold = Parameter(default=0.3)
 
     def f(self, fin, outfs):
-        from ..ops.masks import compute_mask
+        from ..ops.masks import compute_mask_numpy
         img = io.read_image(fin)
         if img.ndim == 2:
             img = np.repeat(img[..., None], 3, axis=-1)
@@ -62,11 +62,11 @@ class Masks(FileByFileTask):
         if isinstance(coefs, str):
             import json
             coefs = json.loads(coefs)
-        out = np.asarray(compute_mask(
+        out = compute_mask_numpy(
             img, filter_type=str(self.type), coefs=tuple(map(float, coefs)),
             threshold=float(self.threshold),
             dilation_radius=int(self.dilation),
-            binarize=bool(self.binarize)))
+            binarize=bool(self.binarize))
         fout = outfs.get_file(fin.id, create=True)
         io.write_image(fout, (out * 255).astype(np.uint8), "png")
         return fout

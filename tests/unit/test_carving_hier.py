@@ -68,3 +68,29 @@ def test_identical_random_masks():
     d = _dense(masks, cams, valid, origin, 1.0, shape)
     h = carve_hierarchical(masks, cams, valid, origin, 1.0, shape)
     np.testing.assert_array_equal(d, h)
+
+
+def test_perview_identical_all_cases():
+    """Per-view-compacted carver must match the dense carve bit-for-bit,
+    including >32 views (multi-word bitmasks), invalid views, speckle."""
+    from plant3dvision_tpu.ops.carving_pv import carve_perview
+    rng = np.random.default_rng(1)
+
+    cases = [
+        dict(n_views=12, H=128, W=128, radius=8.0, dist_cam=50.0,
+             shape=(40, 40, 40), origin=[-20, -20, -20], vs=1.0),
+        dict(n_views=40, H=64, W=64, radius=6.0, dist_cam=40.0,
+             shape=(24, 24, 24), origin=[-12, -12, -12], vs=1.0),
+    ]
+    for i, c in enumerate(cases):
+        masks, cams = _synthetic_views(n_views=c["n_views"], H=c["H"],
+                                       W=c["W"], radius=c["radius"],
+                                       dist_cam=c["dist_cam"])
+        valid = np.ones(c["n_views"], bool)
+        if i == 1:
+            valid[5] = False
+            masks = (rng.random(masks.shape) > 0.4).astype(np.uint8) * 255
+        origin = np.array(c["origin"], np.float32)
+        d = _dense(masks, cams, valid, origin, c["vs"], c["shape"])
+        h = carve_perview(masks, cams, valid, origin, c["vs"], c["shape"])
+        np.testing.assert_array_equal(d, h)
