@@ -182,10 +182,15 @@ class Backprojection:
         cams = np.stack(self._pending_cams)
         valid = np.ones(len(masks), dtype=bool)
         if self.type == "carving":
-            # hierarchical carve: bit-identical, ~6x fewer gathers
-            from .carving_hier import carve_hierarchical
-            vol = carve_hierarchical(masks, cams, valid, self.origin,
-                                     self.voxel_size, self.shape)
+            # hierarchical carve: bit-identical, ~6x fewer gathers; the
+            # per-view-compacted variant wins once straddle sets are much
+            # smaller than the view count (large scans)
+            if len(masks) > 100:
+                from .carving_pv import carve_perview as _carve_h
+            else:
+                from .carving_hier import carve_hierarchical as _carve_h
+            vol = _carve_h(masks, cams, valid, self.origin,
+                           self.voxel_size, self.shape)
             vol = np.asarray(vol).astype(np.int32)
             if self._values is not None:
                 prev = self._values

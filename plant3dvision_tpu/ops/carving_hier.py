@@ -40,44 +40,82 @@ UNDECIDED = 2
 _EPS_Z = 1e-6
 
 
-def build_pyramids(masks, n_levels: int):
-    """Packed max/min pyramids (V, TOT) uint8 + (level_off, level_w) tables.
-
-    Padding is 0 for max and 1 for min so queries straddling the image edge
-    stay conservative.
-    """
+def pack_masks(masks) -> np.ndarray:
+    """Host-side bit-packing of binary masks: (V, H, W) -> (V, ceil(HW/8))
+    uint8, flat row-major, MSB-first. 8x less host->device traffic and HBM
+    churn (carve setup is transfer/alloc bound at 300+ views)."""
     V, H, W = masks.shape
+    flat = np.asarray(masks).reshape(V, H * W) != 0
+    return np.packbits(flat, axis=1)
+
+
+def unpack_masks_device(packed, H: int, W: int):
+    """Device-side unpack back to (V, H, W) uint8."""
+    V = packed.shape[0]
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (packed[:, :, None] >> shifts[None, None, :]) & jnp.uint8(1)
+    return bits.reshape(V, -1)[:, : H * W].reshape(V, H, W)
+
+
+def packed_lookup(packed_v, lin):
+    """Gather mask bits from a packed (ceil(HW/8),) row at flat pixel
+    indices `lin` (one gather + bit extraction)."""
+    byte = jnp.take(packed_v, jnp.right_shift(lin, 3), axis=0)
+    bit = (7 - (lin & 7)).astype(jnp.uint8)
+    return ((byte >> bit) & 1) != 0
+
+
+def _pyramid_shapes(H, W, n_levels):
     m = 1 << n_levels
     Hp = -(-H // m) * m
     Wp = -(-W // m) * m
-
     level_shapes = [(Hp >> l, Wp >> l) for l in range(n_levels + 1)]
     level_off = np.zeros(n_levels + 1, dtype=np.int32)
     for l in range(1, n_levels + 1):
-        level_off[l] = level_off[l - 1] + level_shapes[l - 1][0] * level_shapes[l - 1][1]
+        level_off[l] = (level_off[l - 1]
+                        + level_shapes[l - 1][0] * level_shapes[l - 1][1])
     level_w = np.array([s[1] for s in level_shapes], dtype=np.int32)
+    return Hp, Wp, level_shapes, level_off, level_w
 
-    @jax.jit
-    def _build(masks_v):
-        base = (masks_v != 0).astype(jnp.uint8)
-        base_max = jnp.pad(base, ((0, 0), (0, Hp - H), (0, Wp - W)),
-                           constant_values=0)
-        base_min = jnp.pad(base, ((0, 0), (0, Hp - H), (0, Wp - W)),
-                           constant_values=1)
-        outs_max, outs_min = [], []
-        cur_max, cur_min = base_max, base_min
-        for l in range(n_levels + 1):
-            h, w = level_shapes[l]
-            outs_max.append(cur_max.reshape(V, h * w))
-            outs_min.append(cur_min.reshape(V, h * w))
-            if l < n_levels:
-                cur_max = cur_max.reshape(V, h // 2, 2, w // 2, 2).max(axis=(2, 4))
-                cur_min = cur_min.reshape(V, h // 2, 2, w // 2, 2).min(axis=(2, 4))
-        return (jnp.concatenate(outs_max, axis=1),
-                jnp.concatenate(outs_min, axis=1))
 
-    packed_max, packed_min = _build(jnp.asarray(masks))
-    return packed_max, packed_min, jnp.asarray(level_off), jnp.asarray(level_w), Hp, Wp
+@functools.partial(jax.jit, static_argnames=("H", "W", "n_levels"))
+def _build_pyramids_from_packed(packed, H: int, W: int, n_levels: int):
+    V = packed.shape[0]
+    Hp, Wp, level_shapes, _, _ = _pyramid_shapes(H, W, n_levels)
+    base = unpack_masks_device(packed, H, W)
+    base_max = jnp.pad(base, ((0, 0), (0, Hp - H), (0, Wp - W)),
+                       constant_values=0)
+    base_min = jnp.pad(base, ((0, 0), (0, Hp - H), (0, Wp - W)),
+                       constant_values=1)
+    outs_max, outs_min = [], []
+    cur_max, cur_min = base_max, base_min
+    for l in range(n_levels + 1):
+        h, w = level_shapes[l]
+        outs_max.append(cur_max.reshape(V, h * w))
+        outs_min.append(cur_min.reshape(V, h * w))
+        if l < n_levels:
+            cur_max = cur_max.reshape(V, h // 2, 2, w // 2, 2).max(axis=(2, 4))
+            cur_min = cur_min.reshape(V, h // 2, 2, w // 2, 2).min(axis=(2, 4))
+    return jnp.concatenate(outs_max, axis=1), jnp.concatenate(outs_min, axis=1)
+
+
+def build_pyramids(masks, n_levels: int, packed=None):
+    """Packed max/min pyramids (V, TOT) uint8 + (level_off, level_w) tables.
+
+    Padding is 0 for max and 1 for min so queries straddling the image edge
+    stay conservative. `masks` may be (V, H, W); pass `packed` (from
+    pack_masks) with masks=(V, H, W) shape-only to skip the big upload.
+    """
+    V, H, W = masks.shape if packed is None else masks
+    if packed is None:
+        packed = pack_masks(masks)
+    _, _, _, level_off, level_w = _pyramid_shapes(H, W, n_levels)
+    pyr_max, pyr_min = _build_pyramids_from_packed(jnp.asarray(packed),
+                                                   H, W, n_levels)
+    m = 1 << n_levels
+    Hp = -(-H // m) * m
+    Wp = -(-W // m) * m
+    return pyr_max, pyr_min, jnp.asarray(level_off), jnp.asarray(level_w), Hp, Wp
 
 
 _CUBE_OFFS_F = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0],
@@ -158,8 +196,9 @@ def _classify_cells(cells, cell_valid, cams, valid, packed_max, packed_min,
     return jnp.where(cell_valid, status, jnp.int8(KILLED))
 
 
-def _exact_voxels(voxels, cams, valid, masks_flat, origin, voxel_size, H, W):
-    """Exact reference-semantics test for a list of voxels (M, 3)."""
+def _exact_voxels(voxels, cams, valid, masks_packed, origin, voxel_size, H, W):
+    """Exact reference-semantics test for a list of voxels (M, 3).
+    masks_packed: (V, ceil(HW/8)) bit-packed masks (see pack_masks)."""
     pts = origin[None, :] + voxels.astype(jnp.float32) * voxel_size
 
     def body(carry, xs):
@@ -175,11 +214,11 @@ def _exact_voxels(voxels, cams, valid, masks_flat, origin, voxel_size, H, W):
         in_img = (pz > 0) & (px >= 0) & (px <= W - 1) & (py >= 0) & (py <= H - 1)
         in_img = in_img & ok_view
         lin = jnp.clip(py, 0, H - 1) * W + jnp.clip(px, 0, W - 1)
-        hit = jnp.take(mask_flat, lin, axis=0) != 0
+        hit = packed_lookup(mask_flat, lin)
         return (killed | (in_img & ~hit), seen | (in_img & hit)), None
 
     init = (jnp.zeros(len(pts), bool), jnp.zeros(len(pts), bool))
-    (killed, seen), _ = jax.lax.scan(body, init, (cams, valid, masks_flat))
+    (killed, seen), _ = jax.lax.scan(body, init, (cams, valid, masks_packed))
     return jnp.where(killed, jnp.int8(KILLED),
                      jnp.where(seen, jnp.int8(ALIVE), jnp.int8(UNSEEN)))
 
@@ -259,12 +298,14 @@ class HierarchicalCarver:
         masks = np.asarray(masks)
         self.V, self.H, self.W = masks.shape
         self.n_levels = pyramid_levels
+        # one small upload: bit-packed masks feed both the pyramid build
+        # and the exact fine pass
+        self.masks_flat = jnp.asarray(pack_masks(masks))
         (self.pmax, self.pmin, self.level_off, self.level_w,
-         _, _) = build_pyramids(masks, pyramid_levels)
+         _, _) = build_pyramids((self.V, self.H, self.W), pyramid_levels,
+                                packed=self.masks_flat)
         self.cams = jnp.asarray(cameras)
         self.valid = jnp.asarray(valid)
-        self.masks_flat = jnp.asarray(
-            (masks.reshape(self.V, self.H * self.W) != 0).astype(np.uint8))
 
     def carve(self, origin, voxel_size, shape, start_level: int = 3):
         """Returns the int8 volume (-1 killed / 1 alive&seen / 0 unseen)."""

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .carving_hier import (ALIVE, KILLED, UNDECIDED, UNSEEN, _CUBE_OFFS_F,
-                           _EPS_Z, build_pyramids, _bucket)
+                           _EPS_Z, build_pyramids, _bucket, pack_masks,
+                           packed_lookup)
 
 
 def _project_corners(cells_f, cam, origin, s_world, H, W):
@@ -193,7 +194,7 @@ def _refine_perview(status_prev, bits_prev, hit_prev, cams, valid, pmax,
             py = (p[:, 1] / pz * fy + cy).astype(jnp.int32)
             in_img = (pz > 0) & (px >= 0) & (px <= W - 1) & (py >= 0) & (py <= H - 1)
             lin = jnp.clip(py, 0, H - 1) * W + jnp.clip(px, 0, W - 1)
-            m = jnp.take(mask_flat, lin, axis=0) != 0
+            m = packed_lookup(mask_flat, lin)
             kill = in_img & ~m
             hit = in_img & m
             undec_c = jnp.zeros_like(kill)
@@ -259,17 +260,22 @@ def _max_per_view_count(bits, undec):
 class PerViewCarver:
     """Bit-identical, per-view-compacted hierarchical carver."""
 
-    def __init__(self, masks, cameras, valid, pyramid_levels: int = 8):
-        masks = np.asarray(masks)
-        self.V, self.H, self.W = masks.shape
+    def __init__(self, masks, cameras, valid, pyramid_levels: int = 8,
+                 packed=None):
+        if packed is None:
+            masks = np.asarray(masks)
+            self.V, self.H, self.W = masks.shape
+            packed = pack_masks(masks)
+        else:
+            self.V, self.H, self.W = masks  # masks given as a shape tuple
         self.n_levels = pyramid_levels
         self.n_words = -(-self.V // 32)
+        self.masks_flat = jnp.asarray(packed)
         (self.pmax, self.pmin, self.level_off, self.level_w,
-         _, _) = build_pyramids(masks, pyramid_levels)
+         _, _) = build_pyramids((self.V, self.H, self.W), pyramid_levels,
+                                packed=self.masks_flat)
         self.cams = jnp.asarray(cameras)
         self.valid = jnp.asarray(valid)
-        self.masks_flat = jnp.asarray(
-            (masks.reshape(self.V, self.H * self.W) != 0).astype(np.uint8))
 
     def carve(self, origin, voxel_size, shape, start_level: int = 3):
         nx, ny, nz = shape

@@ -102,4 +102,13 @@ def run_task(ctx, task_name_or_cls, report=True) -> dict:
         logger.info("--- task timing report ---")
         for k, v in results.items():
             logger.info(f"{k:<{width}}  {v['status']:<8} {v['seconds']:>8.2f}s")
+    # observability: persist the last run report on the scan
+    try:
+        import datetime
+        ctx.scan.set_metadata("last_run_report", {
+            "timestamp": datetime.datetime.now().isoformat(timespec="seconds"),
+            "tasks": results,
+        })
+    except Exception:
+        pass
     return results

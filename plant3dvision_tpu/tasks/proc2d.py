@@ -19,16 +19,38 @@ logger = configure_logger(__name__)
 class Undistorted(FileByFileTask):
     """Undistort images using their camera intrinsics.
 
-    Camera source priority (reference tasks/proc2d.py:62-88): per-image
-    'colmap_camera' metadata, then exact 'camera' metadata.
+    Camera source (reference tasks/proc2d.py:62-88): per-image
+    'colmap_camera'/'camera' metadata (default), or an
+    IntrinsicCalibration output fileset (camera_model_source =
+    "IntrinsicCalibration" [+ calibration_scan_id] with a chosen model).
     """
 
     upstream_task = Parameter(default="ImagesFilesetExists")
     camera_model_source = Parameter(default="metadata")
+    calibration_scan_id = Parameter(default="")
+    calibration_model = Parameter(default="OPENCV")
+
+    def _calibrated_camera(self):
+        """K/dist from an IntrinsicCalibration camera_model.json."""
+        from ..utils import locate_task_filesets
+        scan = self.ctx.scan
+        if self.calibration_scan_id:
+            scan = self.ctx.db.get_scan(self.calibration_scan_id) or scan
+        fs_id = locate_task_filesets(scan, ["IntrinsicCalibration"])[
+            "IntrinsicCalibration"]
+        if fs_id == "None":
+            raise FileNotFoundError("No IntrinsicCalibration fileset found")
+        data = io.read_json(scan.get_fileset(fs_id).get_file("camera_model"))
+        res = data[str(self.calibration_model)]
+        K, dist = cameralib.colmap_params_to_k_dist(res["model"], res["params"])
+        return {"K": K, "dist": dist}
 
     def f(self, fin, outfs):
         from ..ops.undistort import undistort
-        cam = cameralib.get_camera_kwargs_from_images_metadata(fin)
+        if str(self.camera_model_source) == "IntrinsicCalibration":
+            cam = self._calibrated_camera()
+        else:
+            cam = cameralib.get_camera_kwargs_from_images_metadata(fin)
         if cam is None:
             logger.warning(f"Undistorted: no camera metadata for {fin.id}, copying as-is")
             img = io.read_image(fin)

@@ -200,6 +200,36 @@ def compute_stem_and_fruit_directions(tree, max_node_dist=10.0,
     return fruit_dirs, stem_dirs, bp_coords, fruit_pts
 
 
+def tree_to_treex(tree, root_id=None):
+    """Optional treex export (reference arabidopsis.py:163-203, conda-only
+    `treex` package). Gated: raises ImportError with install guidance."""
+    try:
+        from treex import tree as tx_tree
+    except ImportError as e:
+        raise ImportError(
+            "treex is not installed (reference installs it from the conda "
+            "'mosaic' channel); tree export is optional") from e
+    from collections import deque
+    import networkx as nx
+    if root_id is None:
+        from .tree import get_root_node_id
+        root_id = get_root_node_id(tree)
+    successors = nx.dfs_successors(tree, source=root_id)
+    TT = tx_tree.Tree()
+    for k, v in tree.nodes[root_id].items():
+        TT.add_attribute_to_id(k, v)
+    q = deque([(root_id, TT)])
+    while q:
+        cur_id, cur_t = q.pop()
+        for child in successors.get(cur_id, []):
+            sub = tx_tree.Tree()
+            cur_t.add_subtree(sub)
+            for k, v in tree.nodes[child].items():
+                sub.add_attribute_to_id(k, v)
+            q.append((child, sub))
+    return TT
+
+
 def compute_angles_and_internodes_from_directions(fruit_dirs, stem_dirs, bp_coords):
     """Angles between successive organ planes, complemented by basis sign;
     output angles in DEGREES, internodes in input units."""
