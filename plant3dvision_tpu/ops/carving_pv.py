@@ -1,4 +1,4 @@
-"""Per-view-compacted hierarchical space carving.
+"""Per-view-compacted hierarchical space carving (incidence-pair engine).
 
 Refinement of ops.carving_hier: a cell inherits most view decisions from
 its parent —
@@ -9,11 +9,12 @@ its parent —
 - a killing view is impossible below a surviving parent.
 
 Only the parent's *straddling* (undecided) views — typically 2-6 of
-hundreds for a turntable scan — need evaluation per child. Each refinement
-level therefore scans over views, gathering ONLY the cells that list that
-view as undecided (device-side nonzero compaction with static caps). The
-gather count drops from O(cells x views) to O(straddle incidences), while
-remaining bit-identical to the dense carve.
+hundreds for a turntable scan — need evaluation per child. The refinement
+work is therefore the flat list of (parent, view) STRADDLE PAIRS: instead
+of scanning views (hundreds of small dispatches), the engine compacts the
+pair list on device and evaluates it in a handful of dense chunks. Gather
+count drops from O(cells x views) to O(straddle incidences) while staying
+bit-identical to the dense carve (tests/unit/test_carving_hier.py).
 """
 
 from __future__ import annotations
@@ -28,33 +29,12 @@ from .carving_hier import (ALIVE, KILLED, UNDECIDED, UNSEEN, _CUBE_OFFS_F,
                            _EPS_Z, build_pyramids, _bucket, pack_masks,
                            packed_lookup)
 
-
-def _project_corners(cells_f, cam, origin, s_world, H, W):
-    """Project the 8 cube corners of (M,3) float cells for ONE camera.
-    Returns (pxmin, pxmax, pymin, pymax, behind)."""
-    corners = (origin[None, None, :]
-               + (cells_f[:, None, :] + _CUBE_OFFS_F[None, :, :]) * s_world)
-    fx, fy, cx, cy = cam[0], cam[1], cam[2], cam[3]
-    R = cam[4:13].reshape(3, 3)
-    t = cam[13:16]
-    p = jnp.einsum("mkj,ij->mki", corners, R) + t
-    pz = p[..., 2]
-    behind = jnp.any(pz <= _EPS_Z, axis=1)
-    pzs = jnp.maximum(pz, _EPS_Z)
-    px = p[..., 0] / pzs * fx + cx
-    py = p[..., 1] / pzs * fy + cy
-    return (jnp.min(px, axis=1), jnp.max(px, axis=1),
-            jnp.min(py, axis=1), jnp.max(py, axis=1), behind)
+_CHUNK = 8192  # pairs per evaluation chunk
 
 
-def _pyramid_probe(pxmin, pxmax, pymin, pymax, behind, pmax_v, pmin_v,
-                   level_off, level_w, H, W, n_levels):
-    """Per-view conservative classification of projected boxes.
-    Returns (kill, hit, out) bools."""
-    fully_out = ((pxmax <= -1.0) | (pxmin >= W) | (pymax <= -1.0)
-                 | (pymin >= H)) & ~behind
-    fully_in = ((pxmin >= 0.0) & (pxmax < W) & (pymin >= 0.0)
-                & (pymax < H) & ~behind)
+def _box_cover(pxmin, pxmax, pymin, pymax, H, W, n_levels, level_off,
+               level_w):
+    """2x2 pyramid cover indices for projected pixel boxes."""
     ax = jnp.clip(jnp.floor(pxmin), 0.0, W - 1.0).astype(jnp.int32)
     bx = jnp.clip(jnp.floor(pxmax), 0.0, W - 1.0).astype(jnp.int32)
     ay = jnp.clip(jnp.floor(pymin), 0.0, H - 1.0).astype(jnp.int32)
@@ -66,54 +46,70 @@ def _pyramid_probe(pxmin, pxmax, pymin, pymax, behind, pmax_v, pmin_v,
     offl = jnp.take(level_off, lvl)
     cx0 = jnp.right_shift(ax, lvl); cx1 = jnp.right_shift(bx, lvl)
     cy0 = jnp.right_shift(ay, lvl); cy1 = jnp.right_shift(by, lvl)
-
-    def q(pyr, cy, cx):
-        return jnp.take(pyr, offl + cy * wl + cx, axis=0)
-
-    vmax = jnp.maximum(jnp.maximum(q(pmax_v, cy0, cx0), q(pmax_v, cy0, cx1)),
-                       jnp.maximum(q(pmax_v, cy1, cx0), q(pmax_v, cy1, cx1)))
-    vmin = jnp.minimum(jnp.minimum(q(pmin_v, cy0, cx0), q(pmin_v, cy0, cx1)),
-                       jnp.minimum(q(pmin_v, cy1, cx0), q(pmin_v, cy1, cx1)))
-    kill = fully_in & (vmax == 0)
-    hit = fully_in & (vmin > 0)
-    return kill, hit, fully_out
+    return (offl + cy0 * wl + cx0, offl + cy0 * wl + cx1,
+            offl + cy1 * wl + cx0, offl + cy1 * wl + cx1)
 
 
 @functools.partial(jax.jit, static_argnames=("grid", "cell_vox", "H", "W",
                                              "n_levels", "n_words"))
 def _top_dense(cams, valid, pmax, pmin, level_off, level_w, origin,
                voxel_size, grid, cell_vox, H, W, n_levels, n_words):
-    """Dense top level over all views. Returns (status (grid,), undec_bits
-    (n_words, M) uint32, any_hit (M,))."""
+    """Dense top level, vectorized over ALL views at once (no scan).
+    Returns (status (grid,), undec_bits (n_words, M), any_hit (M,))."""
     ii = jax.lax.broadcasted_iota(jnp.int32, grid, 0).reshape(-1)
     jj = jax.lax.broadcasted_iota(jnp.int32, grid, 1).reshape(-1)
     kk = jax.lax.broadcasted_iota(jnp.int32, grid, 2).reshape(-1)
     cells_f = jnp.stack([ii, jj, kk], axis=1).astype(jnp.float32)
     M = cells_f.shape[0]
+    V = cams.shape[0]
     s_world = voxel_size * cell_vox
+    corners = (origin[None, None, :]
+               + (cells_f[:, None, :] + _CUBE_OFFS_F[None, :, :]) * s_world)
 
-    def body(carry, xs):
-        any_kill, any_undec, any_hit, bits, v = carry
-        cam, ok_view, pmax_v, pmin_v = xs
-        pr = _project_corners(cells_f, cam, origin, s_world, H, W)
-        kill, hit, out = _pyramid_probe(*pr, pmax_v, pmin_v, level_off,
-                                        level_w, H, W, n_levels)
-        kill = kill & ok_view
-        hit = hit & ok_view
-        no_eff = out | ~ok_view
-        undec = ~kill & ~hit & ~no_eff
-        word = v >> 5
-        bit = jnp.uint32(1) << (v & 31).astype(jnp.uint32)
-        # OR the new bit into the word row (max would drop sibling bits)
-        bits = bits.at[word].set(bits[word]
-                                 | jnp.where(undec, bit, jnp.uint32(0)))
-        return (any_kill | kill, any_undec | undec, any_hit | hit,
-                bits, v + 1), None
+    def one_view(cam, pmax_v, pmin_v):
+        R = cam[4:13].reshape(3, 3)
+        t = cam[13:16]
+        p = jnp.einsum("mkj,ij->mki", corners, R) + t
+        pz = p[..., 2]
+        behind = jnp.any(pz <= _EPS_Z, axis=1)
+        pzs = jnp.maximum(pz, _EPS_Z)
+        px = p[..., 0] / pzs * cam[0] + cam[2]
+        py = p[..., 1] / pzs * cam[1] + cam[3]
+        pxmin = jnp.min(px, axis=1); pxmax = jnp.max(px, axis=1)
+        pymin = jnp.min(py, axis=1); pymax = jnp.max(py, axis=1)
+        out = ((pxmax <= -1.0) | (pxmin >= W) | (pymax <= -1.0)
+               | (pymin >= H)) & ~behind
+        fin = ((pxmin >= 0.0) & (pxmax < W) & (pymin >= 0.0)
+               & (pymax < H) & ~behind)
+        i00, i01, i10, i11 = _box_cover(pxmin, pxmax, pymin, pymax, H, W,
+                                        n_levels, level_off, level_w)
+        vmax = jnp.maximum(jnp.maximum(jnp.take(pmax_v, i00),
+                                       jnp.take(pmax_v, i01)),
+                           jnp.maximum(jnp.take(pmax_v, i10),
+                                       jnp.take(pmax_v, i11)))
+        vmin = jnp.minimum(jnp.minimum(jnp.take(pmin_v, i00),
+                                       jnp.take(pmin_v, i01)),
+                           jnp.minimum(jnp.take(pmin_v, i10),
+                                       jnp.take(pmin_v, i11)))
+        return fin & (vmax == 0), fin & (vmin > 0), out
 
-    init = (jnp.zeros(M, bool), jnp.zeros(M, bool), jnp.zeros(M, bool),
-            jnp.zeros((n_words, M), jnp.uint32), jnp.int32(0))
-    (any_kill, any_undec, any_hit, bits, _), _ = jax.lax.scan(
-        body, init, (cams, valid, pmax, pmin))
+    kill, hit, out = jax.vmap(one_view)(cams, pmax, pmin)   # (V, M) each
+    kill = kill & valid[:, None]
+    hit = hit & valid[:, None]
+    no_eff = out | ~valid[:, None]
+    undec = ~kill & ~hit & ~no_eff                           # (V, M)
+
+    any_kill = jnp.any(kill, axis=0)
+    any_hit = jnp.any(hit, axis=0)
+    any_undec = jnp.any(undec, axis=0)
+
+    # pack the (V, M) straddle matrix into (n_words, M) uint32
+    pad = n_words * 32 - V
+    undec_p = jnp.pad(undec, ((0, pad), (0, 0)))
+    undec_p = undec_p.reshape(n_words, 32, M).astype(jnp.uint32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    bits = jnp.sum(undec_p * weights[None, :, None], axis=1,
+                   dtype=jnp.uint32)
 
     status = jnp.where(
         any_kill, jnp.int8(KILLED),
@@ -122,102 +118,154 @@ def _top_dense(cams, valid, pmax, pmin, level_off, level_w, origin,
     return status.reshape(grid), bits, any_hit
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "capv", "factor",
+@functools.partial(jax.jit, static_argnames=("cap", "capt", "factor",
                                              "cell_vox", "H", "W",
                                              "n_levels", "n_words", "V"))
-def _refine_perview(status_prev, bits_prev, hit_prev, cams, valid, pmax,
-                    pmin, masks_flat, level_off, level_w, origin, voxel_size,
-                    cap, capv, factor, cell_vox, H, W, n_levels, n_words, V):
-    """One per-view-compacted refinement level.
+def _refine_pairs(status_prev, bits_prev, hit_prev, cams, valid, pmax,
+                  pmin, masks_packed, level_off, level_w, origin, voxel_size,
+                  cap, capt, factor, cell_vox, H, W, n_levels, n_words, V):
+    """One refinement level over the flat (parent, view) straddle-pair list.
 
-    status_prev: dense (gx,gy,gz) int8 of the previous level.
-    bits_prev: (n_words, gx*gy*gz) straddling-view bitmasks.
-    hit_prev: (gx*gy*gz,) parent any-hit flags.
-    Returns (status_next dense, bits_next, hit_next) at factor x resolution.
+    status_prev: dense (gx,gy,gz) int8; bits_prev: (n_words, prod(grid));
+    hit_prev: (prod(grid),). Returns (status_next, bits_next, hit_next) at
+    factor x resolution (bits/hit dummies at the final level).
     """
     gx, gy, gz = status_prev.shape
+    P_dense = gx * gy * gz
     flat_prev = status_prev.reshape(-1)
     undec = flat_prev == UNDECIDED
-    pidx = jnp.nonzero(undec, size=cap, fill_value=gx * gy * gz)[0]
-    pvalid = pidx < gx * gy * gz
-    pidx_safe = jnp.minimum(pidx, gx * gy * gz - 1)
-    pi = pidx_safe // (gy * gz)
-    pj = (pidx_safe // gz) % gy
-    pk = pidx_safe % gz
+    pidx = jnp.nonzero(undec, size=cap, fill_value=P_dense)[0]
+    pvalid = pidx < P_dense
+    pidx_safe = jnp.minimum(pidx, P_dense - 1)
+    parents = jnp.stack([pidx_safe // (gy * gz),
+                         (pidx_safe // gz) % gy,
+                         pidx_safe % gz], axis=1).astype(jnp.float32)
+
+    # (cap, V) straddle matrix from the packed parent bits
+    pbits = bits_prev[:, pidx_safe]                     # (n_words, cap)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    expanded = ((pbits.T[:, :, None] >> shifts[None, None, :]) & 1).astype(bool)
+    U = expanded.reshape(cap, n_words * 32)[:, :V]      # (cap, V)
+    U = U & pvalid[:, None] & valid[None, :]
+
+    # flat pair list
+    pair_idx = jnp.nonzero(U.reshape(-1), size=capt, fill_value=cap * V)[0]
+    pair_ok = pair_idx < cap * V
+    pair_idx_safe = jnp.minimum(pair_idx, cap * V - 1)
+    pair_p = pair_idx_safe // V
+    pair_v = pair_idx_safe % V
 
     f3 = factor ** 3
     offs = np.stack(np.meshgrid(np.arange(factor), np.arange(factor),
                                 np.arange(factor), indexing="ij"),
                     axis=-1).reshape(-1, 3).astype(np.float32)
-    parents = jnp.stack([pi, pj, pk], axis=1).astype(jnp.float32)
-    children = (parents[:, None, :] * factor
-                + offs[None, :, :]).reshape(cap * f3, 3)  # float cells
-    child_valid = jnp.repeat(pvalid, f3)
-    # per-child inherited state
-    pbits = bits_prev[:, pidx_safe]                      # (n_words, cap)
-    phit = hit_prev[pidx_safe]                            # (cap,)
-    child_hit0 = jnp.repeat(phit & pvalid, f3)
+    offs_j = jnp.asarray(offs)
 
-    s_world = voxel_size * cell_vox
     N = cap * f3
+    s_world = voxel_size * cell_vox
+    TOT = pmax.shape[1]
+    B = masks_packed.shape[1]
+    pmax_flat = pmax.reshape(-1)
+    pmin_flat = pmin.reshape(-1)
+    masks_flat = masks_packed.reshape(-1)
 
-    def body(carry, xs):
-        any_kill, any_undec, any_hit, bits, v = carry
-        cam, ok_view, pmax_v, pmin_v, mask_flat = xs
-        word = v >> 5
-        bit = jnp.uint32(1) << (v & 31).astype(jnp.uint32)
-        # parents listing view v as straddling
-        pmask = ((pbits[word] & bit) != 0) & pvalid & ok_view
-        sel = jnp.nonzero(pmask, size=capv, fill_value=cap)[0]
-        sel_ok = sel < cap
-        sel_safe = jnp.minimum(sel, cap - 1)
-        # the f3 children of each selected parent
-        cidx = (sel_safe[:, None] * f3
-                + jnp.arange(f3)[None, :]).reshape(-1)     # (capv*f3,)
-        ccells = children[cidx]
-        cok = jnp.repeat(sel_ok, f3)
+    n_chunks = capt // _CHUNK
+
+    def chunk_body(carry, xs):
+        any_kill, any_hit, any_undec, bits_acc = carry
+        cp, cv, cok = xs                                # (_CHUNK,) each
+        cam = cams[cv]                                  # (_CHUNK, 16)
+        par = parents[cp]                               # (_CHUNK, 3)
+        children = par[:, None, :] * factor + offs_j[None, :, :]  # (C, f3, 3)
+
+        R = cam[:, 4:13].reshape(-1, 3, 3)
+        t = cam[:, 13:16]
+        fx, fy, cx, cy = cam[:, 0], cam[:, 1], cam[:, 2], cam[:, 3]
 
         if cell_vox > 1:
-            pr = _project_corners(ccells, cam, origin, s_world, H, W)
-            kill, hit, out = _pyramid_probe(*pr, pmax_v, pmin_v, level_off,
-                                            level_w, H, W, n_levels)
+            pts = (origin[None, None, None, :]
+                   + (children[:, :, None, :] + _CUBE_OFFS_F[None, None, :, :])
+                   * s_world)                            # (C, f3, 8, 3)
+            pts = pts.reshape(_CHUNK, f3 * 8, 3)
+            p = jnp.einsum("cij,ckj->cki", R, pts) + t[:, None, :]
+            p = p.reshape(_CHUNK, f3, 8, 3)
+            pz = p[..., 2]
+            behind = jnp.any(pz <= _EPS_Z, axis=-1)      # (C, f3)
+            pzs = jnp.maximum(pz, _EPS_Z)
+            px = p[..., 0] / pzs * fx[:, None, None] + cx[:, None, None]
+            py = p[..., 1] / pzs * fy[:, None, None] + cy[:, None, None]
+            pxmin = jnp.min(px, axis=-1); pxmax = jnp.max(px, axis=-1)
+            pymin = jnp.min(py, axis=-1); pymax = jnp.max(py, axis=-1)
+            out = ((pxmax <= -1.0) | (pxmin >= W) | (pymax <= -1.0)
+                   | (pymin >= H)) & ~behind
+            fin = ((pxmin >= 0.0) & (pxmax < W) & (pymin >= 0.0)
+                   & (pymax < H) & ~behind)
+            i00, i01, i10, i11 = _box_cover(pxmin, pxmax, pymin, pymax, H, W,
+                                            n_levels, level_off, level_w)
+            voff = (cv * TOT)[:, None]
+
+            def q(flat, idx):
+                return jnp.take(flat, (idx + voff).reshape(-1),
+                                axis=0).reshape(_CHUNK, f3)
+
+            vmax = jnp.maximum(jnp.maximum(q(pmax_flat, i00), q(pmax_flat, i01)),
+                               jnp.maximum(q(pmax_flat, i10), q(pmax_flat, i11)))
+            vmin = jnp.minimum(jnp.minimum(q(pmin_flat, i00), q(pmin_flat, i01)),
+                               jnp.minimum(q(pmin_flat, i10), q(pmin_flat, i11)))
+            kill = fin & (vmax == 0)
+            hit = fin & (vmin > 0)
             undec_c = ~kill & ~hit & ~out
         else:
-            # exact single-pixel reference test
-            fx, fy, cx, cy = cam[0], cam[1], cam[2], cam[3]
-            R = cam[4:13].reshape(3, 3)
-            t = cam[13:16]
-            pts = origin[None, :] + ccells * voxel_size
-            p = pts @ R.T + t
-            pz = p[:, 2]
-            px = (p[:, 0] / pz * fx + cx).astype(jnp.int32)
-            py = (p[:, 1] / pz * fy + cy).astype(jnp.int32)
-            in_img = (pz > 0) & (px >= 0) & (px <= W - 1) & (py >= 0) & (py <= H - 1)
+            pts = origin[None, None, :] + children * voxel_size  # (C, f3, 3)
+            p = jnp.einsum("cij,ckj->cki", R, pts) + t[:, None, :]
+            pz = p[..., 2]
+            px = (p[..., 0] / pz * fx[:, None] + cx[:, None]).astype(jnp.int32)
+            py = (p[..., 1] / pz * fy[:, None] + cy[:, None]).astype(jnp.int32)
+            in_img = ((pz > 0) & (px >= 0) & (px <= W - 1)
+                      & (py >= 0) & (py <= H - 1))
             lin = jnp.clip(py, 0, H - 1) * W + jnp.clip(px, 0, W - 1)
-            m = packed_lookup(mask_flat, lin)
+            # packed lookup with per-pair view offset (byte units)
+            byte_idx = (jnp.right_shift(lin, 3) + (cv * B)[:, None]).reshape(-1)
+            byte = jnp.take(masks_flat, byte_idx, axis=0).reshape(_CHUNK, f3)
+            bit = (7 - (lin & 7)).astype(jnp.uint8)
+            m = ((byte >> bit) & 1) != 0
             kill = in_img & ~m
             hit = in_img & m
             undec_c = jnp.zeros_like(kill)
 
-        kill = kill & cok
-        hit = hit & cok
-        undec_c = undec_c & cok
-        tgt = jnp.where(cok, cidx, N)
-        any_kill = any_kill.at[tgt].max(kill, mode="drop")
-        any_hit = any_hit.at[tgt].max(hit, mode="drop")
-        any_undec = any_undec.at[tgt].max(undec_c, mode="drop")
-        # OR the view bit in (targets are unique within a step, so a
-        # gather-or-scatter round trip is race-free)
-        tgt_safe = jnp.minimum(tgt, N - 1)
-        cur = bits[word, tgt_safe]
-        bits = bits.at[word, tgt].set(
-            cur | jnp.where(undec_c, bit, jnp.uint32(0)), mode="drop")
-        return (any_kill, any_undec, any_hit, bits, v + 1), None
+        okc = cok[:, None]
+        kill = kill & okc
+        hit = hit & okc
+        undec_c = undec_c & okc
 
-    init = (jnp.zeros(N, bool), jnp.zeros(N, bool), child_hit0,
-            jnp.zeros((n_words, N), jnp.uint32), jnp.int32(0))
-    (any_kill, any_undec, any_hit, bits, _), _ = jax.lax.scan(
-        body, init, (cams, valid, pmax, pmin, masks_flat))
+        child_gidx = (cp[:, None] * f3
+                      + jnp.arange(f3, dtype=jnp.int32)[None, :])
+        tgt = jnp.where(okc, child_gidx, N).reshape(-1)
+        any_kill = any_kill.at[tgt].max(kill.reshape(-1), mode="drop")
+        any_hit = any_hit.at[tgt].max(hit.reshape(-1), mode="drop")
+        any_undec = any_undec.at[tgt].max(undec_c.reshape(-1), mode="drop")
+        if cell_vox > 1:
+            word = jnp.right_shift(cv, 5)
+            bitv = (jnp.uint32(1)
+                    << (cv & 31).astype(jnp.uint32))     # (_CHUNK,)
+            vals = jnp.where(undec_c, bitv[:, None], jnp.uint32(0)).reshape(-1)
+            wr = jnp.repeat(word, f3)
+            # disjoint powers of two per (child, word): add == bitwise or
+            bits_acc = bits_acc.at[wr, tgt].add(vals, mode="drop")
+        return (any_kill, any_hit, any_undec, bits_acc), None
+
+    child_hit0 = jnp.repeat(hit_prev[pidx_safe] & pvalid, f3)
+    bits_acc0 = (jnp.zeros((n_words, N + 1), jnp.uint32) if cell_vox > 1
+                 else jnp.zeros((n_words, 1), jnp.uint32))
+    init = (jnp.zeros(N + 1, bool), jnp.pad(child_hit0, (0, 1)),
+            jnp.zeros(N + 1, bool), bits_acc0)
+    xs = (pair_p.reshape(n_chunks, _CHUNK), pair_v.reshape(n_chunks, _CHUNK),
+          pair_ok.reshape(n_chunks, _CHUNK))
+    (any_kill, any_hit, any_undec, bits_acc), _ = jax.lax.scan(
+        chunk_body, init, xs)
+    any_kill = any_kill[:N]
+    any_hit = any_hit[:N]
+    any_undec = any_undec[:N]
 
     status_c = jnp.where(
         any_kill, jnp.int8(KILLED),
@@ -225,23 +273,25 @@ def _refine_perview(status_prev, bits_prev, hit_prev, cams, valid, pmax,
                   jnp.where(any_hit, jnp.int8(ALIVE), jnp.int8(UNSEEN))))
 
     # assemble dense next level
+    child_valid = jnp.repeat(pvalid, f3)
+    children_int = (jnp.repeat(
+        jnp.stack([pidx_safe // (gy * gz), (pidx_safe // gz) % gy,
+                   pidx_safe % gz], axis=1), f3, axis=0) * factor
+        + jnp.tile(jnp.asarray(offs.astype(np.int32)), (cap, 1)))
     nxt = jnp.repeat(jnp.repeat(jnp.repeat(status_prev, factor, axis=0),
                                 factor, axis=1), factor, axis=2)
-    lin = (children[:, 0].astype(jnp.int32) * (gy * factor * gz * factor)
-           + children[:, 1].astype(jnp.int32) * (gz * factor)
-           + children[:, 2].astype(jnp.int32))
+    lin = (children_int[:, 0] * (gy * factor * gz * factor)
+           + children_int[:, 1] * (gz * factor) + children_int[:, 2])
     nxt = nxt.reshape(-1)
     safe_lin = jnp.where(child_valid, lin, nxt.size)
     nxt = nxt.at[safe_lin].set(status_c, mode="drop")
 
     if cell_vox == 1:
-        # final level: no further refinement, skip the (huge) bit arrays
         return (nxt.reshape(gx * factor, gy * factor, gz * factor),
                 jnp.zeros((n_words, 1), jnp.uint32), jnp.zeros(1, bool))
 
-    # scatter child bits/hit into dense-level arrays for the next level
     bits_next = jnp.zeros((n_words, nxt.size), jnp.uint32)
-    bits_next = bits_next.at[:, safe_lin].max(bits, mode="drop")
+    bits_next = bits_next.at[:, safe_lin].max(bits_acc[:, :N], mode="drop")
     hit_next = jnp.zeros(nxt.size, bool)
     hit_next = hit_next.at[safe_lin].max(any_hit, mode="drop")
     return (nxt.reshape(gx * factor, gy * factor, gz * factor),
@@ -249,16 +299,19 @@ def _refine_perview(status_prev, bits_prev, hit_prev, cams, valid, pmax,
 
 
 @jax.jit
-def _max_per_view_count(bits, undec):
-    """Max over views of the straddling-cell count (for capv sizing)."""
-    masked = jnp.where(undec[None, :], bits, jnp.uint32(0))
-    counts = jnp.stack([jnp.sum((masked >> b) & 1, axis=1)
-                        for b in range(32)])  # (32, n_words)
-    return jnp.max(counts)
+def _pair_count(bits, undec, valid=None):
+    """Total straddle incidences among undecided cells (for capt sizing).
+    Branch-free popcount over the packed bit matrix."""
+    x = jnp.where(undec[None, :], bits, jnp.uint32(0))
+    cnt = x - ((x >> 1) & jnp.uint32(0x55555555))
+    cnt = (cnt & jnp.uint32(0x33333333)) + ((cnt >> 2) & jnp.uint32(0x33333333))
+    cnt = (cnt + (cnt >> 4)) & jnp.uint32(0x0F0F0F0F)
+    cnt = (cnt * jnp.uint32(0x01010101)) >> 24
+    return jnp.sum(cnt)
 
 
 class PerViewCarver:
-    """Bit-identical, per-view-compacted hierarchical carver."""
+    """Bit-identical, incidence-pair-compacted hierarchical carver."""
 
     def __init__(self, masks, cameras, valid, pyramid_levels: int = 8,
                  packed=None):
@@ -288,7 +341,6 @@ class PerViewCarver:
             self.cams, self.valid, self.pmax, self.pmin, self.level_off,
             self.level_w, origin_j, vs, grid, m, self.H, self.W,
             self.n_levels, self.n_words)
-        hit = jnp.asarray(hit)
 
         plan = [(2, m // 2)]
         if m // 2 > 1:
@@ -301,15 +353,16 @@ class PerViewCarver:
                 status = jnp.repeat(
                     jnp.repeat(jnp.repeat(status, factor, axis=0),
                                factor, axis=1), factor, axis=2)
-                bits = None
-                break
+                continue
             cap = _bucket(n_undec)
-            max_pv = int(_max_per_view_count(bits, undec))
-            capv = _bucket(max(max_pv, 1))
-            status, bits, hit = _refine_perview(
+            n_pairs = int(_pair_count(bits, undec, self.valid))
+            capt = _CHUNK
+            while capt < n_pairs:
+                capt += _CHUNK
+            status, bits, hit = _refine_pairs(
                 status, bits, hit, self.cams, self.valid, self.pmax,
                 self.pmin, self.masks_flat, self.level_off, self.level_w,
-                origin_j, vs, cap, capv, factor, cell_vox, self.H, self.W,
+                origin_j, vs, cap, capt, factor, cell_vox, self.H, self.W,
                 self.n_levels, self.n_words, self.V)
 
         return np.asarray(status[:nx, :ny, :nz])

@@ -117,6 +117,21 @@ def compute_mask_numpy(image, filter_type="linear", coefs=(0.0, 1.0, 0.0),
     version exists for the fused on-device pipeline (tasks.fused).
     """
     img = np.asarray(image)
+
+    # fast lane: uint8 + linear + binarize with a single positive coef
+    # reduces to one integer comparison (no float copies; GIL-friendly)
+    if (binarize and filter_type == "linear" and img.dtype == np.uint8):
+        c = np.asarray(coefs, np.float32)
+        nz = np.nonzero(c)[0]
+        if len(nz) == 1 and c[nz[0]] > 0:
+            ch = img if img.ndim == 2 else img[..., nz[0]]
+            m = ch > (threshold * 255.0 / c[nz[0]])
+            if dilation_radius > 0:
+                m = _dilate_np(m, dilation_radius)
+            return m.astype(np.float32)
+
+    if img.ndim == 2:
+        img = img[..., None]
     if img.dtype == np.uint8:
         x = img.astype(np.float32) / 255.0
     elif img.dtype == np.uint16:
@@ -127,7 +142,8 @@ def compute_mask_numpy(image, filter_type="linear", coefs=(0.0, 1.0, 0.0),
         x = (x - lo) / max(hi - lo, 1e-12)
     if filter_type == "linear":
         c = np.asarray(coefs, np.float32)
-        out = x[..., : len(c)] @ c
+        n = min(x.shape[-1], len(c))
+        out = x[..., :n] @ c[:n]
     elif filter_type == "excess_green":
         s = np.maximum(x[..., :3].sum(axis=-1, keepdims=True), 1e-12)
         chroma = x[..., :3] / s
@@ -138,11 +154,15 @@ def compute_mask_numpy(image, filter_type="linear", coefs=(0.0, 1.0, 0.0),
         return np.clip(out, 0.0, 1.0)
     m = out > threshold
     if dilation_radius > 0:
-        from scipy.ndimage import binary_dilation as nd_dilation
-        r = int(dilation_radius)
-        size = 2 * r + 1
-        fp = np.zeros((size, size), bool)
-        for dy, dx in _disk_offsets(r):
-            fp[dy + r, dx + r] = True
-        m = nd_dilation(m, structure=fp)
+        m = _dilate_np(m, dilation_radius)
     return m.astype(np.float32)
+
+
+def _dilate_np(m, radius):
+    from scipy.ndimage import binary_dilation as nd_dilation
+    r = int(radius)
+    size = 2 * r + 1
+    fp = np.zeros((size, size), bool)
+    for dy, dx in _disk_offsets(r):
+        fp[dy + r, dx + r] = True
+    return nd_dilation(m, structure=fp)

@@ -14,6 +14,7 @@ from ..runtime.task import (  # noqa: F401
 from .proc2d import Undistorted, Masks, Segmentation2D  # noqa: F401
 from .cl import Voxels, VoxelsWithPrior  # noqa: F401
 from .visualization import Visualization  # noqa: F401
+from .fused import FusedCarving  # noqa: F401
 from .proc3d import (  # noqa: F401
     PointCloud,
     TriangleMesh,

@@ -1,0 +1,111 @@
+"""FusedCarving: images -> carved volume in one pass.
+
+The compatible task DAG (Masks -> Voxels) materializes 300 mask PNGs per
+scan — two full codec round trips the reference also pays. This task fuses
+mask computation into carving setup: images are decoded, filtered and
+BIT-PACKED per-thread, so nothing but 1-bit masks ever exists, then the
+per-view hierarchical carver runs. Output is Voxels-format (npz volume +
+voxel_size/origin metadata), so PointCloud etc. consume it via
+upstream_task = "FusedCarving".
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..fsdb import io
+from ..runtime.log import configure_logger
+from ..runtime.task import Parameter, RomiTask
+
+logger = configure_logger(__name__)
+
+
+class FusedCarving(RomiTask):
+    upstream_task = Parameter(default="ImagesFilesetExists")
+    query = Parameter(default={})
+    camera_metadata = Parameter(default="camera")
+    voxel_size = Parameter(default=1.0)
+    bounding_box = Parameter(default=None)
+    # mask parameters (same semantics as the Masks task)
+    type = Parameter(default="linear")
+    parameters = Parameter(default=[0.0, 1.0, 0.0])
+    threshold = Parameter(default=0.3)
+    dilation = Parameter(default=0)
+    invert = Parameter(default=False)
+
+    def _resolve_bounding_box(self):
+        bbox = self.bounding_box
+        scan = self.ctx.scan
+        if bbox is None:
+            bbox = scan.get_metadata("bounding_box")
+        if bbox is None:
+            images_fs = scan.get_fileset("images")
+            if images_fs is not None:
+                bbox = (images_fs.get_metadata("bounding_box")
+                        or images_fs.get_metadata("workspace"))
+        if bbox is None:
+            raise ValueError("Could not obtain a valid bounding-box")
+        return bbox
+
+    def run(self):
+        from concurrent.futures import ThreadPoolExecutor
+        from ..ops.carving import camera_from_metadata
+        from ..ops.carving_pv import PerViewCarver
+        from ..ops.masks import compute_mask_numpy
+
+        images_fs = self.input()[0].get(create=False) if isinstance(
+            self.input(), (list, tuple)) else self.input().get(create=False)
+        files = images_fs.get_files(query=self.query or None)
+        cam_key = str(self.camera_metadata)
+
+        coefs = self.parameters
+        if isinstance(coefs, str):
+            import json
+            coefs = json.loads(coefs)
+
+        selected = []
+        for f in files:
+            cam = f.get_metadata(cam_key)
+            if cam is not None:
+                selected.append((f, cam))
+        if not selected:
+            raise ValueError(f"No images with '{cam_key}' camera metadata")
+
+        shape_hw = {}
+
+        def _load_pack(item):
+            f, cam = item
+            img = io.read_image(f)
+            m = compute_mask_numpy(
+                img, filter_type=str(self.type),
+                coefs=tuple(map(float, coefs)),
+                threshold=float(self.threshold),
+                dilation_radius=int(self.dilation), binarize=True) > 0.5
+            if bool(self.invert):
+                m = ~m
+            shape_hw["hw"] = m.shape
+            return np.packbits(m.reshape(-1)), camera_from_metadata(cam)
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            results = list(ex.map(_load_pack, selected))
+        packed = np.stack([r[0] for r in results])
+        cams = np.stack([r[1] for r in results])
+        valid = np.ones(len(packed), bool)
+        H, W = shape_hw["hw"]
+        logger.info(f"FusedCarving: {len(packed)} views at {W}x{H}")
+
+        bbox = self._resolve_bounding_box()
+        vs = float(self.voxel_size)
+        x_min, x_max = bbox["x"]; y_min, y_max = bbox["y"]; z_min, z_max = bbox["z"]
+        shape = (int((x_max - x_min) / vs) + 1, int((y_max - y_min) / vs) + 1,
+                 int((z_max - z_min) / vs) + 1)
+        origin = np.array([x_min, y_min, z_min])  # float64 for metadata parity
+        logger.info(f"FusedCarving: grid {shape} at {vs} mm")
+
+        carver = PerViewCarver((len(packed), H, W), cams, valid,
+                               packed=packed)
+        vol = carver.carve(origin, vs, shape)
+
+        outfile = self.output_file()
+        io.write_volume(outfile, vol.astype(np.int32))
+        outfile.set_metadata({"voxel_size": vs, "origin": origin.tolist()})

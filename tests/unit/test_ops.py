@@ -334,3 +334,21 @@ def test_pose_to_extrinsics_roundtrip():
     assert fwd[0] == pytest.approx(0, abs=1e-9)
     assert fwd[1] == pytest.approx(0, abs=1e-9)
     assert fwd[2] > 0
+
+
+def test_compute_mask_numpy_matches_jax(rng):
+    from plant3dvision_tpu.ops.masks import compute_mask, compute_mask_numpy
+
+    img = (rng.random((40, 52, 3)) * 255).astype(np.uint8)
+    for ft, coefs in [("linear", (0.0, 1.0, 0.0)), ("linear", (1.0, 0, 0)),
+                      ("excess_green", (0, 1, 0))]:
+        for dil in (0, 2):
+            a = np.asarray(compute_mask(img, ft, coefs, threshold=0.3,
+                                        dilation_radius=dil))
+            b = compute_mask_numpy(img, ft, coefs, threshold=0.3,
+                                   dilation_radius=dil)
+            np.testing.assert_array_equal(a, b)
+    # grayscale input fast lane
+    gray = (rng.random((30, 30)) * 255).astype(np.uint8)
+    b = compute_mask_numpy(gray, "linear", (1.0, 0, 0), threshold=0.3)
+    np.testing.assert_array_equal(b, (gray > 0.3 * 255).astype(np.float32))
