@@ -56,7 +56,7 @@ def train(images, labels_int, label_names, widths=(32, 64, 128),
     import optax
 
     from . import create_unet
-    from ..parallel import make_mesh, make_train_step
+    from ..parallel import make_mesh
     from ..parallel.mesh import best_dp_tp
     from ..parallel.train import shard_params
 

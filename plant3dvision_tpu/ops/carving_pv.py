@@ -26,8 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .carving_hier import (ALIVE, KILLED, UNDECIDED, UNSEEN, _CUBE_OFFS_F,
-                           _EPS_Z, build_pyramids, _bucket, pack_masks,
-                           packed_lookup)
+                           _EPS_Z, build_pyramids, _bucket, pack_masks)
 
 _CHUNK = 8192  # pairs per evaluation chunk
 

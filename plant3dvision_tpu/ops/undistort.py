@@ -11,8 +11,6 @@ OPENCV (k1,k2,p1,p2), RADIAL (k1,k2), SIMPLE_RADIAL (k).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

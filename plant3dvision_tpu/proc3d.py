@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .fsdb.geometry import PointCloud, TriangleMesh
+from .fsdb.geometry import PointCloud
 from .runtime.log import configure_logger
 
 logger = configure_logger(__name__)
@@ -62,7 +62,6 @@ def vol2pcd(volume, origin, voxel_size, level_set_value=0, dist_cap=16):
     final point gather is vectorized numpy (the reference uses a joblib
     loop per point).
     """
-    import functools
     import jax
     import jax.numpy as jnp
 

@@ -10,7 +10,6 @@ are config-determined).
 from __future__ import annotations
 
 import json
-from pathlib import Path
 
 from ..fsdb import FSDB
 

@@ -5,7 +5,6 @@ a callback/task on each."""
 from __future__ import annotations
 
 import threading
-import time
 
 from .log import configure_logger
 

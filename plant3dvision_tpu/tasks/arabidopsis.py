@@ -3,7 +3,6 @@
 
 from __future__ import annotations
 
-import numpy as np
 
 from ..fsdb import io
 from ..runtime.log import configure_logger

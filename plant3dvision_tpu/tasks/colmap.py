@@ -14,7 +14,7 @@ from ..filenames import (COLMAP_CAMERAS_ID, COLMAP_DENSE_ID, COLMAP_IMAGES_ID,
                          COLMAP_POINTS_ID, COLMAP_SPARSE_ID)
 from ..runtime.log import configure_logger
 from ..runtime.task import Parameter, RetryableTaskError, RomiTask
-from ..camera import colmap_params_to_k_dist, compute_estimated_pose
+from ..camera import compute_estimated_pose
 
 logger = configure_logger(__name__)
 

@@ -6,7 +6,6 @@ from __future__ import annotations
 import numpy as np
 
 from ..fsdb import io
-from ..fsdb.geometry import PointCloud as PCD
 from ..runtime.log import configure_logger
 from ..runtime.task import Parameter, RomiTask
 from ..utils import is_radians, jsonify, read_measures
