@@ -207,6 +207,14 @@ class Scan:
             md[key] = value
         _write_json(self._metadata_path(), md)
 
+    def get_measures(self, key=None):
+        """Manual measurements shipped with the scan (measures.json) —
+        plantdb API parity (reference tasks/evaluation.py:660-662)."""
+        md = _read_json(self.path() / "measures.json", {})
+        if key is None:
+            return md
+        return md.get(key, [])
+
     # -- filesets ------------------------------------------------------
     def list_filesets(self):
         return sorted(self.filesets.keys())

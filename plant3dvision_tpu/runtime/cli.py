@@ -45,6 +45,13 @@ def main(argv=None):
     from .. import tasks  # noqa: F401
 
     db_path, scan_id = parse_dataset(args.dataset)
+    from .task import TaskRegistry
+    try:
+        TaskRegistry.get(args.task)
+    except KeyError:
+        raise SystemExit(
+            f"Unknown task '{args.task}'. Known tasks:\n  "
+            + "\n  ".join(TaskRegistry.known()))
     ctx = RunContext.from_paths(db_path, scan_id, args.config)
     try:
         run_task(ctx, args.task)

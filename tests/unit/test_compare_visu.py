@@ -1,0 +1,99 @@
+"""compare.py + visu.py coverage: pairwise repeatability metrics and
+figure builders on small synthetic data."""
+
+import numpy as np
+
+from plant3dvision_tpu import compare, visu
+from plant3dvision_tpu.fsdb import io
+from plant3dvision_tpu.fsdb.geometry import PointCloud, TriangleMesh
+from plant3dvision_tpu.runtime import RunContext, run_task
+from plant3dvision_tpu.synth import SyntheticPlant, generate_scan
+
+
+def _two_processed_scans(db):
+    """Two replicated scans with PointCloud/CurveSkeleton/Angles outputs."""
+    cfg = {
+        "Masks": {"upstream_task": "ImagesFilesetExists", "type": "linear",
+                  "parameters": [1.0, 0, 0], "threshold": 0.3, "dilation": 0},
+        "Voxels": {"upstream_mask": "Masks", "upstream_colmap": "DummyTask",
+                   "camera_metadata": "camera", "voxel_size": 1.0},
+        "PointCloud": {"upstream_task": "Voxels", "level_set_value": 0.0},
+        "CurveSkeleton": {"upstream_task": "PointCloud", "bin_size": 2.0,
+                          "k": 10, "stem_axis_inverted": True},
+        "TreeGraph": {"upstream_task": "CurveSkeleton",
+                      "stem_axis_inverted": True},
+        "AnglesAndInternodes": {"upstream_task": "TreeGraph",
+                                "node_sampling_dist": 10,
+                                "min_fruit_size": 6},
+    }
+    scans = []
+    for i in range(2):
+        plant = SyntheticPlant(n_fruits=8, stem_radius=2.5, fruit_radius=1.8,
+                               fruit_length=25.0, internode=7.0)
+        generate_scan(db, f"rep{i}", n_views=18, width=224, height=224,
+                      f=300.0, plant=plant)
+        ctx = RunContext(db, f"rep{i}", cfg)
+        run_task(ctx, "AnglesAndInternodes", report=False)
+        scans.append(db.get_scan(f"rep{i}"))
+    return scans
+
+
+def test_compare_functions(temp_db):
+    scans = _two_processed_scans(temp_db)
+
+    pcd_res = compare.compare_point_clouds(scans)
+    assert "rep0-vs-rep1" in pcd_res
+    assert pcd_res["rep0-vs-rep1"]["chamfer"] < 1.0  # identical scans
+
+    vox_res = compare.compare_voxels(scans)
+    assert vox_res["rep0-vs-rep1"]["iou"] == 1.0
+
+    skel_res = compare.compare_skeletons(scans)
+    assert skel_res["rep0-vs-rep1"]["chamfer"] < 1e-9
+
+    ang_res = compare.compare_angles(scans)
+    assert ang_res["rep0-vs-rep1"]["mean_angle_error"] < 1e-6
+
+    mask_res = compare.compare_masks(scans)
+    assert mask_res["rep0-vs-rep1"]["mean_precision"] == 1.0
+
+    pose_res = compare.compare_poses(scans)
+    # identical exact poses => zero spread everywhere
+    assert all(v["spread"] < 1e-9 for v in pose_res.values())
+
+
+def test_visu_figures(tmp_path, rng):
+    pts = rng.random((500, 3)) * 10
+    visu.point_cloud_figure(PointCloud(pts), tmp_path / "pcd.png")
+    assert (tmp_path / "pcd.png").stat().st_size > 1000
+
+    skel_pts = np.stack([np.zeros(20), np.zeros(20), np.arange(20.0)], axis=1)
+    lines = np.stack([np.arange(19), np.arange(1, 20)], axis=1)
+    visu.skeleton_figure(skel_pts, lines, tmp_path / "skel.png")
+    assert (tmp_path / "skel.png").stat().st_size > 1000
+
+    visu.sequences_figure([137.5] * 8, [6.0] * 8, tmp_path / "seq.png",
+                          gt_angles=[137.5] * 8)
+    assert (tmp_path / "seq.png").stat().st_size > 1000
+
+    vol = rng.random((20, 20, 30))
+    visu.volume_slice_figure(vol, tmp_path / "vol.png")
+    assert (tmp_path / "vol.png").stat().st_size > 1000
+
+    imgs = [np.full((16, 16), i * 20, np.uint8) for i in range(7)]
+    visu.image_carousel_figure(imgs, tmp_path / "car.png", n_cols=4)
+    assert (tmp_path / "car.png").stat().st_size > 1000
+
+    visu.alignment_figure([{"pred_angle": 130.0, "gt_angle": 137.5}] * 5,
+                          tmp_path / "align.png")
+    assert (tmp_path / "align.png").stat().st_size > 1000
+
+
+def test_scan_get_measures(temp_db):
+    import json
+    scan = temp_db.create_scan("s")
+    (scan.path() / "measures.json").write_text(
+        json.dumps({"angles": [2.4, 2.4], "internodes": [6, 6]}))
+    assert scan.get_measures("angles") == [2.4, 2.4]
+    assert scan.get_measures()["internodes"] == [6, 6]
+    assert scan.get_measures("nope") == []
