@@ -1,0 +1,261 @@
+"""Multi-chip hierarchical carving: views sharded over a Mesh axis.
+
+The hierarchy (ops.carving_pv) is view-separable: kill/hit/straddle are
+per-view facts and every level decision is an associative reduction over
+views (ANY kill, ANY straddle, ANY hit). So each chip:
+
+- holds pyramids + packed masks for ITS view shard,
+- classifies cells against its own views only,
+- joins one tiny collective per level (pmax over int8 arrays of the
+  level's cell count) to agree on global statuses.
+
+Straddle matrices never cross chips. The whole carve is ONE jitted SPMD
+program (static caps, no host syncs). Output matches the single-chip carve
+bit-for-bit (tests/unit/test_parallel_carve.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.carving_hier import (ALIVE, KILLED, UNDECIDED, UNSEEN,
+                                _CUBE_OFFS_F, _EPS_Z, _pyramid_shapes,
+                                pack_masks, unpack_masks_device)
+from ..ops.carving_pv import _box_cover
+
+
+def _build_local_pyramids(packed, H, W, n_levels):
+    V = packed.shape[0]
+    Hp, Wp, level_shapes, _, _ = _pyramid_shapes(H, W, n_levels)
+    base = unpack_masks_device(packed, H, W)
+    base_max = jnp.pad(base, ((0, 0), (0, Hp - H), (0, Wp - W)),
+                       constant_values=0)
+    base_min = jnp.pad(base, ((0, 0), (0, Hp - H), (0, Wp - W)),
+                       constant_values=1)
+    outs_max, outs_min = [], []
+    cur_max, cur_min = base_max, base_min
+    for l in range(n_levels + 1):
+        h, w = level_shapes[l]
+        outs_max.append(cur_max.reshape(V, h * w))
+        outs_min.append(cur_min.reshape(V, h * w))
+        if l < n_levels:
+            cur_max = cur_max.reshape(V, h // 2, 2, w // 2, 2).max(axis=(2, 4))
+            cur_min = cur_min.reshape(V, h // 2, 2, w // 2, 2).min(axis=(2, 4))
+    return jnp.concatenate(outs_max, axis=1), jnp.concatenate(outs_min, axis=1)
+
+
+def _classify_local(cells_f, cams, valid, pmax, pmin, level_off, level_w,
+                    origin, s_world, H, W, n_levels):
+    """(kill, hit, undec) over (V_local, M) for float cell coords."""
+    corners = (origin[None, None, :]
+               + (cells_f[:, None, :] + _CUBE_OFFS_F[None, :, :]) * s_world)
+
+    def one_view(cam, pmax_v, pmin_v):
+        R = cam[4:13].reshape(3, 3)
+        t = cam[13:16]
+        p = jnp.einsum("mkj,ij->mki", corners, R) + t
+        pz = p[..., 2]
+        behind = jnp.any(pz <= _EPS_Z, axis=1)
+        pzs = jnp.maximum(pz, _EPS_Z)
+        px = p[..., 0] / pzs * cam[0] + cam[2]
+        py = p[..., 1] / pzs * cam[1] + cam[3]
+        pxmin = jnp.min(px, axis=1); pxmax = jnp.max(px, axis=1)
+        pymin = jnp.min(py, axis=1); pymax = jnp.max(py, axis=1)
+        out = ((pxmax <= -1.0) | (pxmin >= W) | (pymax <= -1.0)
+               | (pymin >= H)) & ~behind
+        fin = ((pxmin >= 0.0) & (pxmax < W) & (pymin >= 0.0)
+               & (pymax < H) & ~behind)
+        i00, i01, i10, i11 = _box_cover(pxmin, pxmax, pymin, pymax, H, W,
+                                        n_levels, level_off, level_w)
+        vmax = jnp.maximum(jnp.maximum(jnp.take(pmax_v, i00),
+                                       jnp.take(pmax_v, i01)),
+                           jnp.maximum(jnp.take(pmax_v, i10),
+                                       jnp.take(pmax_v, i11)))
+        vmin = jnp.minimum(jnp.minimum(jnp.take(pmin_v, i00),
+                                       jnp.take(pmin_v, i01)),
+                           jnp.minimum(jnp.take(pmin_v, i10),
+                                       jnp.take(pmin_v, i11)))
+        return fin & (vmax == 0), fin & (vmin > 0), out
+
+    kill, hit, out = jax.vmap(one_view)(cams, pmax, pmin)
+    kill = kill & valid[:, None]
+    hit = hit & valid[:, None]
+    no_eff = out | ~valid[:, None]
+    undec = ~kill & ~hit & ~no_eff
+    return kill, hit, undec
+
+
+def _exact_local(pts, cams, valid, masks_packed, H, W):
+    """(kill, hit) over (V_local, M): exact single-pixel reference test."""
+
+    def one_view(cam, ok_view, packed_v):
+        R = cam[4:13].reshape(3, 3)
+        t = cam[13:16]
+        p = pts @ R.T + t
+        pz = p[:, 2]
+        px = (p[:, 0] / pz * cam[0] + cam[2]).astype(jnp.int32)
+        py = (p[:, 1] / pz * cam[1] + cam[3]).astype(jnp.int32)
+        in_img = (pz > 0) & (px >= 0) & (px <= W - 1) & (py >= 0) & (py <= H - 1)
+        in_img = in_img & ok_view
+        lin = jnp.clip(py, 0, H - 1) * W + jnp.clip(px, 0, W - 1)
+        byte = jnp.take(packed_v, jnp.right_shift(lin, 3), axis=0)
+        m = ((byte >> (7 - (lin & 7)).astype(jnp.uint8)) & 1) != 0
+        return in_img & ~m, in_img & m
+
+    kill, hit = jax.vmap(one_view)(cams, valid, masks_packed)
+    return kill, hit
+
+
+def _gor(x, axis):
+    """Global OR across the mesh axis for a bool array."""
+    return jax.lax.pmax(x.astype(jnp.int8), axis) == 1
+
+
+def make_sharded_carver(mesh: Mesh, axis: str, H: int, W: int, V_total: int,
+                        shape, voxel_size: float, origin,
+                        start_level: int = 3, pyramid_levels: int = 8,
+                        cap: int = 8192):
+    """Builds a jitted SPMD carve for a fixed geometry.
+
+    Returns fn(packed (V, B) view-sharded, cams (V, 16), valid (V,)) ->
+    replicated int8 volume of `shape`. `cap` bounds undecided cells per
+    level (static; raise for large scans).
+    """
+    from jax.experimental.shard_map import shard_map
+
+    n_shards = mesh.shape[axis]
+    assert V_total % n_shards == 0, "pad views to a multiple of the mesh axis"
+    m = 1 << start_level
+    grid = (-(-shape[0] // m), -(-shape[1] // m), -(-shape[2] // m))
+    n_levels = pyramid_levels
+    nx, ny, nz = shape
+    origin_np = np.asarray(origin, np.float32)
+    vs = float(voxel_size)
+
+    plan = [(2, m // 2)]
+    if m // 2 > 1:
+        plan.append((m // 2, 1))
+
+    def body(packed_l, cams_l, valid_l):
+        pmax_l, pmin_l = _build_local_pyramids(packed_l, H, W, n_levels)
+        _, _, _, level_off, level_w = _pyramid_shapes(H, W, n_levels)
+        level_off = jnp.asarray(level_off)
+        level_w = jnp.asarray(level_w)
+        origin_j = jnp.asarray(origin_np)
+
+        # ---- top level ------------------------------------------------
+        gx, gy, gz = grid
+        ii = jax.lax.broadcasted_iota(jnp.int32, grid, 0).reshape(-1)
+        jj = jax.lax.broadcasted_iota(jnp.int32, grid, 1).reshape(-1)
+        kk = jax.lax.broadcasted_iota(jnp.int32, grid, 2).reshape(-1)
+        cells_f = jnp.stack([ii, jj, kk], axis=1).astype(jnp.float32)
+        kill, hit, undec = _classify_local(
+            cells_f, cams_l, valid_l, pmax_l, pmin_l, level_off, level_w,
+            origin_j, vs * m, H, W, n_levels)
+        any_kill = _gor(jnp.any(kill, axis=0), axis)
+        hit_carry = _gor(jnp.any(hit, axis=0), axis)        # dense (M,)
+        any_und = _gor(jnp.any(undec, axis=0), axis)
+        status = jnp.where(
+            any_kill, jnp.int8(KILLED),
+            jnp.where(any_und, jnp.int8(UNDECIDED),
+                      jnp.where(hit_carry, jnp.int8(ALIVE),
+                                jnp.int8(UNSEEN))))
+        local_undec = undec                                  # (V_l, M)
+        status = status.reshape(-1)
+
+        # ---- refinement -------------------------------------------------
+        for factor, cell_vox in plan:
+            P_dense = gx * gy * gz
+            undec_mask = status.reshape(-1) == UNDECIDED
+            pidx = jnp.nonzero(undec_mask, size=cap, fill_value=P_dense)[0]
+            pvalid = pidx < P_dense
+            pidx_safe = jnp.minimum(pidx, P_dense - 1)
+            parents = jnp.stack([pidx_safe // (gy * gz),
+                                 (pidx_safe // gz) % gy,
+                                 pidx_safe % gz],
+                                axis=1).astype(jnp.float32)
+
+            f3 = factor ** 3
+            offs = np.stack(np.meshgrid(*([np.arange(factor)] * 3),
+                                        indexing="ij"),
+                            axis=-1).reshape(-1, 3).astype(np.float32)
+            children = (parents[:, None, :] * factor
+                        + jnp.asarray(offs)[None, :, :]).reshape(cap * f3, 3)
+            child_valid = jnp.repeat(pvalid, f3)
+            cand = local_undec[:, pidx_safe] & pvalid[None, :]
+            cand_c = jnp.repeat(cand, f3, axis=1)            # (V_l, cap*f3)
+            hit_inherit = jnp.repeat(hit_carry[pidx_safe] & pvalid, f3)
+
+            if cell_vox > 1:
+                killc, hitc, undc = _classify_local(
+                    children, cams_l, valid_l, pmax_l, pmin_l, level_off,
+                    level_w, origin_j, vs * cell_vox, H, W, n_levels)
+                undc = undc & cand_c
+            else:
+                pts = origin_j[None, :] + children * vs
+                killc, hitc = _exact_local(pts, cams_l, valid_l, packed_l,
+                                           H, W)
+                undc = jnp.zeros_like(killc)
+            killc = killc & cand_c
+            hitc = hitc & cand_c
+
+            any_kill_c = _gor(jnp.any(killc, axis=0), axis)
+            any_hit_c = _gor(jnp.any(hitc, axis=0), axis) | hit_inherit
+            any_und_c = _gor(jnp.any(undc, axis=0), axis)
+            status_c = jnp.where(
+                any_kill_c, jnp.int8(KILLED),
+                jnp.where(any_und_c, jnp.int8(UNDECIDED),
+                          jnp.where(any_hit_c, jnp.int8(ALIVE),
+                                    jnp.int8(UNSEEN))))
+            status_c = jnp.where(child_valid, status_c, jnp.int8(KILLED))
+
+            # dense next level
+            nxt = jnp.repeat(jnp.repeat(jnp.repeat(
+                status.reshape(gx, gy, gz),
+                factor, axis=0), factor, axis=1), factor, axis=2)
+            gx, gy, gz = gx * factor, gy * factor, gz * factor
+            lin = (children[:, 0].astype(jnp.int32) * (gy * gz)
+                   + children[:, 1].astype(jnp.int32) * gz
+                   + children[:, 2].astype(jnp.int32))
+            nxt = nxt.reshape(-1)
+            safe_lin = jnp.where(child_valid, lin, nxt.size)
+            status = nxt.at[safe_lin].set(status_c, mode="drop")  # flat
+
+            if cell_vox > 1:
+                # carry dense straddle matrix + hit flags to the next level
+                lu = jnp.zeros((packed_l.shape[0], nxt.size), bool)
+                local_undec = lu.at[:, safe_lin].max(undc, mode="drop")
+                hc = jnp.zeros(nxt.size, bool)
+                hit_carry = hc.at[safe_lin].max(any_hit_c, mode="drop")
+
+        return status.reshape(gx, gy, gz)[:nx, :ny, :nz]
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P(axis), P(axis), P(axis)),
+                   out_specs=P())
+    return jax.jit(fn)
+
+
+def carve_sharded_hierarchical(masks, cameras, valid, origin, voxel_size,
+                               shape, mesh: Mesh, axis: str = "dp",
+                               cap: int = 8192):
+    """Convenience wrapper: pad views to the mesh axis, pack, carve."""
+    masks = np.asarray(masks)
+    V, H, W = masks.shape
+    n = mesh.shape[axis]
+    pad = (-V) % n
+    if pad:
+        masks = np.concatenate([masks, np.zeros((pad, H, W), masks.dtype)])
+        cameras = np.concatenate(
+            [cameras, np.tile(cameras[-1:], (pad, 1))])
+        valid = np.concatenate([valid, np.zeros(pad, bool)])
+    packed = pack_masks(masks)
+    fn = make_sharded_carver(mesh, axis, H, W, len(masks), tuple(shape),
+                             voxel_size, origin, cap=cap)
+    with mesh:
+        return np.asarray(fn(jnp.asarray(packed), jnp.asarray(cameras),
+                             jnp.asarray(valid)))

@@ -352,3 +352,40 @@ def test_compute_mask_numpy_matches_jax(rng):
     gray = (rng.random((30, 30)) * 255).astype(np.uint8)
     b = compute_mask_numpy(gray, "linear", (1.0, 0, 0), threshold=0.3)
     np.testing.assert_array_equal(b, (gray > 0.3 * 255).astype(np.float32))
+
+
+def test_backprojection_multilabel(temp_db):
+    """Multi-label carving: per-label volumes equal independent runs
+    (reference cl.py:248-257 label loop)."""
+    from plant3dvision_tpu.fsdb import io
+    from plant3dvision_tpu.ops.carving import Backprojection
+
+    masks, cams = _synthetic_views(n_views=6, H=64, W=64, radius=6.0,
+                                   dist_cam=40.0)
+    # second label: shifted disk
+    masks2 = np.roll(masks, 8, axis=2)
+    scan = temp_db.create_scan("s")
+    fs = scan.create_fileset("masks")
+    for v in range(len(masks)):
+        for label, m in (("stem", masks[v]), ("fruit", masks2[v])):
+            f = fs.create_file(f"m{v:02d}_{label}")
+            io.write_image(f, m, "png")
+            f.set_metadata("channel", label)
+            f.set_metadata("camera", {
+                "camera_model": {"params": cams[v, 0:4].tolist()},
+                "rotmat": cams[v, 4:13].reshape(3, 3).tolist(),
+                "tvec": cams[v, 13:16].tolist()})
+
+    shape = [24, 24, 24]
+    origin = [-12, -12, -12]
+    bp = Backprojection(shape=shape, origin=origin, voxel_size=1.0,
+                        labels=["stem", "fruit"])
+    vol = bp.process_fileset(fs, "camera")
+    assert vol.shape == (2, 24, 24, 24)
+
+    for i, label in enumerate(["stem", "fruit"]):
+        solo = Backprojection(shape=shape, origin=origin, voxel_size=1.0)
+        ref = solo.process_label(
+            [f for f in fs.get_files() if f.get_metadata("channel") == label],
+            "camera")
+        np.testing.assert_array_equal(vol[i], ref)
