@@ -27,7 +27,7 @@ def carve_sharded(masks, cameras, valid, origin, voxel_size, shape,
     masks: (V, H, W) with V divisible by mesh.shape[axis] (pad + valid=False
     for the remainder).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     V, H, W = masks.shape
     n = mesh.shape[axis]
@@ -82,7 +82,7 @@ def carve_grid_sharded(masks, cameras, valid, origin, voxel_size, shape,
     vs = jnp.float32(voxel_size)
     local_shape = (nx // n, ny, nz)
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from functools import partial
 
     @partial(shard_map, mesh=mesh,

@@ -125,7 +125,7 @@ def make_sharded_carver(mesh: Mesh, axis: str, H: int, W: int, V_total: int,
     replicated int8 volume of `shape`. `cap` bounds undecided cells per
     level (static; raise for large scans).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n_shards = mesh.shape[axis]
     assert V_total % n_shards == 0, "pad views to a multiple of the mesh axis"
