@@ -153,3 +153,43 @@ def test_obj_roundtrip(temp_db):
     back = io.read_triangle_mesh(f)
     np.testing.assert_allclose(back.vertices, verts)
     np.testing.assert_array_equal(back.triangles, tris)
+
+
+def test_ply_ascii_read(temp_db, tmp_path):
+    """ASCII PLY payloads (other tools write them) parse identically."""
+    from plant3dvision_tpu.fsdb import ply as plyio
+    ascii_ply = """ply
+format ascii 1.0
+element vertex 3
+property float x
+property float y
+property float z
+element face 1
+property list uchar int vertex_indices
+end_header
+0 0 0
+1 0 0
+0 1 0
+3 0 1 2
+"""
+    p = tmp_path / "m.ply"
+    p.write_text(ascii_ply)
+    mesh = plyio.read_ply(p)
+    np.testing.assert_allclose(mesh.vertices,
+                               [[0, 0, 0], [1, 0, 0], [0, 1, 0]])
+    np.testing.assert_array_equal(mesh.triangles, [[0, 1, 2]])
+
+
+def test_deferred_store_batches_manifest_writes(temp_db):
+    scan = temp_db.create_scan("s_defer")
+    fs = scan.create_fileset("out")
+    with scan.deferred_store():
+        for i in range(5):
+            fs.create_file(f"f{i}").write_raw(b"x", "bin")
+        # manifest not yet updated inside the block
+        manifest = json.loads((scan.path() / "files.json").read_text())
+        names = {f["id"] for fsx in manifest["filesets"] for f in fsx["files"]}
+        assert "f4" not in names
+    manifest = json.loads((scan.path() / "files.json").read_text())
+    names = {f["id"] for fsx in manifest["filesets"] for f in fsx["files"]}
+    assert {"f0", "f1", "f2", "f3", "f4"} <= names
