@@ -185,7 +185,7 @@ def _read_ascii(body, elements):
         else:
             names = [name for _, name in el["props"]]
             arr = np.loadtxt(chunk, ndmin=2) if chunk else np.zeros((0, len(names)))
-            rec = np.core.records.fromarrays(arr.T, names=names) if len(arr) else None
+            rec = np.rec.fromarrays(arr.T, names=names) if len(arr) else None
             if el["name"] == "vertex":
                 vertex_data = rec
     return _assemble(vertex_data, face_idx)

@@ -58,7 +58,7 @@ def test_full_geom_pipeline(synth_db):
 
     # accuracy oracle: known synthetic ground truth
     err = _angle_error(out["angles"], np.full(N_FRUITS - 1, GT_DIV))
-    assert err < 3.0, f"mean angle error {err:.2f} deg: {out['angles']}"
+    assert err < 2.0, f"mean angle error {err:.2f} deg: {out['angles']}"
     internode_err = np.abs(np.asarray(out["internodes"]) - 6.0).mean()
     assert internode_err < 1.0, f"internode error {internode_err:.2f} mm"
 
