@@ -34,10 +34,14 @@ def point2index(points, origin, voxel_size):
 
 # -- volume -> point cloud (reference vol2pcd, proc3d.py:490-570) --------
 
-def _vol2pcd_dense(v, level_set_value, cap):
+def _vol2pcd_dense(v, level_set_value, cap, band_cap):
+    """Full device pipeline: signed distance -> smoothed gradients -> the
+    level-set band compacted to (band_cap,) indexed records. Only the thin
+    band leaves the device (~100x less device->host traffic than the dense
+    volumes)."""
+    import jax.numpy as jnp
     from .ops.edt import signed_distance
     from .ops.filters import gaussian_filter, gradient
-    import jax.numpy as jnp
 
     dist = signed_distance(v, cap)
     gx, gy, gz = gradient(dist)
@@ -46,20 +50,28 @@ def _vol2pcd_dense(v, level_set_value, cap):
     gz = gaussian_filter(gz, 1.0)
     on_edge = ((dist > -level_set_value)
                & (dist <= -level_set_value + np.sqrt(3)))
-    return dist, gx, gy, gz, on_edge
+    flat = on_edge.reshape(-1)
+    n_band = jnp.sum(flat)
+    idx = jnp.nonzero(flat, size=band_cap, fill_value=0)[0]
+    valid = jnp.arange(band_cap) < n_band
+    d = dist.reshape(-1)[idx]
+    g = jnp.stack([gx.reshape(-1)[idx], gy.reshape(-1)[idx],
+                   gz.reshape(-1)[idx]], axis=1)
+    return idx, valid, d, g, n_band
 
 
 _vol2pcd_dense_jit = None
 
 
-def vol2pcd(volume, origin, voxel_size, level_set_value=0, dist_cap=16):
+def vol2pcd(volume, origin, voxel_size, level_set_value=0, dist_cap=16,
+            band_cap=None):
     """Binary/score volume -> surface point cloud with outward normals.
 
     Same algorithm as the reference: signed distance from two EDTs,
     Gaussian-smoothed gradient normals, points extracted on the level-set
     band (-l, -l + sqrt(3)] and slid along the normal onto the level set.
-    The dense stages are one jitted TPU program (cached across calls); the
-    final point gather is vectorized numpy (the reference uses a joblib
+    Everything dense runs as one jitted TPU program (cached across calls);
+    only the compacted band is transferred (the reference uses a joblib
     loop per point).
     """
     import jax
@@ -68,23 +80,39 @@ def vol2pcd(volume, origin, voxel_size, level_set_value=0, dist_cap=16):
     global _vol2pcd_dense_jit
     if _vol2pcd_dense_jit is None:
         _vol2pcd_dense_jit = jax.jit(_vol2pcd_dense,
-                                     static_argnames=("cap",))
+                                     static_argnames=("cap", "band_cap"))
 
     vol = np.asarray(volume)
     cap = int(min(dist_cap + level_set_value + 4, max(vol.shape)))
-    dist, gx, gy, gz, on_edge = _vol2pcd_dense_jit(
-        jnp.asarray(vol, jnp.float32), jnp.float32(level_set_value), cap)
-    dist = np.asarray(dist)
-    gx, gy, gz = np.asarray(gx), np.asarray(gy), np.asarray(gz)
-    on_edge = np.asarray(on_edge)
+    if band_cap is None:
+        # the band is a constant-thickness surface shell; bucket for cache
+        bc = 65536
+        while bc < vol.size // 4:
+            bc <<= 1
+        band_cap = min(bc, vol.size)
+    idx, valid, d, g, n_band = _vol2pcd_dense_jit(
+        jnp.asarray(vol, jnp.float32), jnp.float32(level_set_value), cap,
+        band_cap)
+    n = int(n_band)
+    if n > band_cap:  # extremely dense volume: redo with exact size
+        idx, valid, d, g, n_band = _vol2pcd_dense_jit(
+            jnp.asarray(vol, jnp.float32), jnp.float32(level_set_value),
+            cap, vol.size)
+        n = int(n_band)
+    idx = np.asarray(idx)[:n] if n <= band_cap else np.asarray(idx)
+    d = np.asarray(d)[:n]
+    grad = np.asarray(g)[:n]
 
-    x, y, z = np.nonzero(on_edge)
-    grad = np.stack([gx[x, y, z], gy[x, y, z], gz[x, y, z]], axis=1)
+    ny, nz = vol.shape[1], vol.shape[2]
+    x = idx // (ny * nz)
+    y = (idx // nz) % ny
+    z = idx % nz
+
     gnorm = np.linalg.norm(grad, axis=1)
     ok = gnorm > 0
-    x, y, z, grad, gnorm = x[ok], y[ok], z[ok], grad[ok], gnorm[ok]
+    x, y, z, grad, gnorm, d = x[ok], y[ok], z[ok], grad[ok], gnorm[ok], d[ok]
     ghat = grad / gnorm[:, None]
-    val = dist[x, y, z] + level_set_value - np.sqrt(3) / 2
+    val = d + level_set_value - np.sqrt(3) / 2
     pts = np.stack([x, y, z], axis=1).astype(np.float64) - ghat * val[:, None]
     normals = -ghat
     pts = index2point(pts, np.asarray(origin), voxel_size)
