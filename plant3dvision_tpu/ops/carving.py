@@ -163,14 +163,9 @@ class Backprojection:
 
     # -- incremental API (parity with reference process_view) ----------
     def process_view(self, intrinsics, rot, tvec, mask):
-        mask = np.asarray(mask)
-        if self.type == "averaging":
-            if mask.dtype == np.uint8:
-                mask = mask.astype(np.float32) / 255.0
-            mask = mask.astype(np.float32)
-            if self.log:
-                mask = np.log(EPS + mask)
-        self._pending_masks.append(mask)
+        # masks are stored raw; float/log conversion happens at flush time
+        # (the hierarchical averaging path needs the raw binary values)
+        self._pending_masks.append(np.asarray(mask))
         self._pending_cams.append(pack_camera(intrinsics, rot, tvec))
 
     def _flush(self):
@@ -198,8 +193,28 @@ class Backprojection:
                 seen = (prev == 1) | (vol == 1)
                 vol = np.where(killed, -1, np.where(seen, 1, 0)).astype(np.int32)
         else:
-            vol = np.asarray(average(masks, cams, valid, self.origin,
-                                     self.voxel_size, self.shape))
+            vol = None
+            if np.isin(np.unique(masks), (0, 1, 255)).all():
+                # binarized masks: hierarchical averaging (exact, ~10x
+                # fewer gathers at production view counts)
+                try:
+                    from .averaging_hier import average_hierarchical
+                    vol = average_hierarchical(
+                        masks, cams, valid, self.origin, self.voxel_size,
+                        self.shape, log=self.log)
+                except Exception as e:
+                    from ..runtime.log import configure_logger
+                    configure_logger(__name__).warning(
+                        f"hierarchical averaging failed ({e}); dense fallback")
+                    vol = None
+            if vol is None:
+                fmasks = masks.astype(np.float32)
+                if masks.dtype == np.uint8:
+                    fmasks = fmasks / 255.0
+                if self.log:
+                    fmasks = np.log(EPS + fmasks)
+                vol = np.asarray(average(fmasks, cams, valid, self.origin,
+                                         self.voxel_size, self.shape))
             if self._values is not None:
                 vol = self._values + vol
         self._values = vol
