@@ -19,7 +19,18 @@ bilinear(log-mask) = v0 + (v1 - v0) * bilinear(binary mask), because the
 log transform is applied to a two-valued image and interpolation is linear.
 
 Matches ops.carving.average within float tolerance (summation order
-differs); verified in tests/unit/test_averaging_hier.py.
+differs); verified in tests/unit/test_averaging_hier.py. On TPU the two
+implementations' f32 projections can diverge by ulps, which flips an
+occasional bilinear tap across the mask boundary: isolated voxels may
+differ by up to |log(EPS)| * w per straddling view (bounded, boundary-only;
+immaterial after the exp/argmax downstream).
+
+WHEN IT WINS: the savings come from cells fully inside/outside every mask.
+For THIN structures at fine voxel sizes (the typical 1 mm plant scan) most
+plant-adjacent cells straddle most views and the pair list approaches the
+dense work — dense averaging is then faster. Backprojection therefore
+defaults to the dense op; use this for thick/filled objects or coarse
+grids.
 """
 
 from __future__ import annotations
@@ -64,10 +75,13 @@ def _classify_avg(cells_f, cams, valid, pmax, pmin, level_off, level_w,
         fin = ((pxmin >= 0.0) & (pxmax < W) & (pymin >= 0.0)
                & (pymax < H) & ~behind)
         # bilinear taps cover [floor(p), floor(p)+1]: extend the box by +1
-        ax = jnp.clip(jnp.floor(pxmin), 0.0, W - 1.0).astype(jnp.int32)
-        bx = jnp.clip(jnp.floor(pxmax) + 1, 0.0, W - 1.0).astype(jnp.int32)
-        ay = jnp.clip(jnp.floor(pymin), 0.0, H - 1.0).astype(jnp.int32)
-        by = jnp.clip(jnp.floor(pymax) + 1, 0.0, H - 1.0).astype(jnp.int32)
+        # plus an epsilon margin (the dense op computes projections with a
+        # different f32 expression; certainty must survive ulp divergence)
+        eps_px = 1e-3
+        ax = jnp.clip(jnp.floor(pxmin - eps_px), 0.0, W - 1.0).astype(jnp.int32)
+        bx = jnp.clip(jnp.floor(pxmax + eps_px) + 1, 0.0, W - 1.0).astype(jnp.int32)
+        ay = jnp.clip(jnp.floor(pymin - eps_px), 0.0, H - 1.0).astype(jnp.int32)
+        by = jnp.clip(jnp.floor(pymax + eps_px) + 1, 0.0, H - 1.0).astype(jnp.int32)
         span = jnp.maximum(bx - ax, by - ay) + 1
         lvl = jnp.clip(jnp.ceil(jnp.log2(jnp.maximum(
             span.astype(jnp.float32), 1.0))), 0, n_levels).astype(jnp.int32)

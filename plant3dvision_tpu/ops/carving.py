@@ -193,28 +193,16 @@ class Backprojection:
                 seen = (prev == 1) | (vol == 1)
                 vol = np.where(killed, -1, np.where(seen, 1, 0)).astype(np.int32)
         else:
-            vol = None
-            if np.isin(np.unique(masks), (0, 1, 255)).all():
-                # binarized masks: hierarchical averaging (exact, ~10x
-                # fewer gathers at production view counts)
-                try:
-                    from .averaging_hier import average_hierarchical
-                    vol = average_hierarchical(
-                        masks, cams, valid, self.origin, self.voxel_size,
-                        self.shape, log=self.log)
-                except Exception as e:
-                    from ..runtime.log import configure_logger
-                    configure_logger(__name__).warning(
-                        f"hierarchical averaging failed ({e}); dense fallback")
-                    vol = None
-            if vol is None:
-                fmasks = masks.astype(np.float32)
-                if masks.dtype == np.uint8:
-                    fmasks = fmasks / 255.0
-                if self.log:
-                    fmasks = np.log(EPS + fmasks)
-                vol = np.asarray(average(fmasks, cams, valid, self.origin,
-                                         self.voxel_size, self.shape))
+            # dense averaging: for thin plant structures at fine voxels the
+            # hierarchical variant (ops.averaging_hier) has no early-kill
+            # pruning and loses to the dense scan — measured on v5e
+            fmasks = masks.astype(np.float32)
+            if masks.dtype == np.uint8:
+                fmasks = fmasks / 255.0
+            if self.log:
+                fmasks = np.log(EPS + fmasks)
+            vol = np.asarray(average(fmasks, cams, valid, self.origin,
+                                     self.voxel_size, self.shape))
             if self._values is not None:
                 vol = self._values + vol
         self._values = vol

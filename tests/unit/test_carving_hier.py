@@ -94,3 +94,21 @@ def test_perview_identical_all_cases():
         d = _dense(masks, cams, valid, origin, c["vs"], c["shape"])
         h = carve_perview(masks, cams, valid, origin, c["vs"], c["shape"])
         np.testing.assert_array_equal(d, h)
+
+
+def test_single_view_carve():
+    """V=1 edge case through all three engines."""
+    from plant3dvision_tpu.ops.carving_pv import carve_perview
+    masks, cams = _synthetic_views(n_views=1, H=64, W=64, radius=6.0,
+                                   dist_cam=40.0)
+    valid = np.ones(1, bool)
+    origin = np.array([-12.0, -12.0, -12.0], np.float32)
+    shape = (24, 24, 24)
+    d = _dense(masks, cams, valid, origin, 1.0, shape)
+    np.testing.assert_array_equal(
+        carve_hierarchical(masks, cams, valid, origin, 1.0, shape), d)
+    np.testing.assert_array_equal(
+        carve_perview(masks, cams, valid, origin, 1.0, shape), d)
+    # a single view can only carve a cone; everything toward the camera
+    # within the silhouette cone stays alive
+    assert (d == 1).sum() > 0 and (d == -1).sum() > 0
