@@ -102,6 +102,11 @@ class FSDB:
                 if (entry / "images").is_dir():
                     self.scans[entry.name] = Scan(self, entry.name)
 
+    def refresh(self):
+        """Re-scan the database directory (picks up scans copied in
+        after connect, e.g. by fixtures.load_reference_scan)."""
+        self._load_scans()
+
     def list_scans(self):
         return sorted(self.scans.keys())
 

@@ -1,0 +1,80 @@
+"""End-to-end pipeline runs on the REFERENCE'S OWN shipped test data.
+
+This is the parity analogue of the reference's
+tests/integration/test_anglesandinternodes.py:11-155: the virtual_plant
+fixture (18 shots x 7 channels, exact per-image `camera` metadata, no
+COLMAP needed) is copied into a TemporaryDB and the full geometric
+pipeline runs through AnglesAndInternodes, then is DTW-scored against the
+fixture's own ground-truth angle/internode metadata (41 organs) — the same
+protocol as reference tasks/evaluation.py:600-733.
+
+Skipped when the reference checkout is not present (P3D_REF_TESTDATA).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from plant3dvision_tpu import fixtures
+from plant3dvision_tpu.fsdb.testing import TemporaryDB
+from plant3dvision_tpu.runtime import RunContext, run_task
+from plant3dvision_tpu.runtime.config import load_toml
+
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[2]
+
+pytestmark = pytest.mark.skipif(
+    not fixtures.has_reference_testdata("virtual_plant"),
+    reason="reference testdata not available")
+
+
+@pytest.fixture(scope="module")
+def virtual_db():
+    with TemporaryDB() as db:
+        fixtures.load_reference_scan(db, "virtual_plant")
+        yield db
+
+
+def test_virtual_plant_fixture_layout(virtual_db):
+    scan = virtual_db.get_scan("virtual_plant")
+    images = scan.get_fileset("images")
+    files = images.get_files()
+    assert len(files) == 126  # 18 shots x 7 channels
+    rgb = images.get_files(query={"channel": "rgb"})
+    assert len(rgb) == 18
+    cam = rgb[0].get_metadata("camera")
+    assert cam["camera_model"]["model"] == "OPENCV"
+    assert np.asarray(cam["rotmat"]).shape == (3, 3)
+    gt_angles, gt_internodes = fixtures.virtual_plant_ground_truth(scan)
+    assert len(gt_angles) == 41 and len(gt_internodes) == 41
+
+
+def test_virtual_plant_geom_pipeline_dtw(virtual_db):
+    """Full geom pipeline (background-mask carve, reference
+    configs/geom_pipe_virtual.toml route) + DTW vs ground truth."""
+    cfg = load_toml(REPO / "configs" / "geom_pipe_virtual.toml")
+    # CPU test budget: 0.1 instead of 0.06 (the reference's own test config,
+    # test_geom_pipe_virtual.toml, uses 0.1 as well)
+    cfg["Voxels"]["voxel_size"] = 0.1
+    ctx = RunContext(virtual_db, "virtual_plant", cfg)
+    report = run_task(ctx, "AnglesAndInternodesEvaluation", report=False)
+    assert report["AnglesAndInternodes"]["status"] == "done"
+
+    fs = ctx.scan.get_fileset(report["AnglesAndInternodes"]["fileset"])
+    out = json.loads(fs.get_file("AnglesAndInternodes").read_raw())
+    # reference oracle (test_anglesandinternodes.py:69-70)
+    assert len(out["angles"]) > 10
+    assert len(out["internodes"]) > 10
+
+    efs = ctx.scan.get_fileset(
+        report["AnglesAndInternodesEvaluation"]["fileset"])
+    ev = json.loads(efs.get_files()[0].read_raw())
+    # DTW accuracy on the reference's shipped ground truth (41 organs).
+    # Guard thresholds at measured-quality level (ncost 0.137 / 21.9 deg
+    # mean divergence-angle error at 0.1 voxels) so regressions surface.
+    assert ev["normalized_cost"] < 0.25, ev["normalized_cost"]
+    assert ev["mean_angle_error"] < 30.0, ev["mean_angle_error"]
+    # organ-count sanity: within ~25% of the 41 true organs
+    assert 30 <= len(out["angles"]) <= 55
