@@ -5,9 +5,12 @@ Workload (BASELINE.md): 60 views at 1440x1080, voxel grid 301x301x561
 configs/test_geom_pipe_real.toml carving job, with a synthetic plant
 (capsule-union arabidopsis) as the scene.
 
-Engine: hierarchical conservative carve (ops/carving_hier.py) — produces a
-volume bit-identical to the brute-force kernel semantics
-(kernels/backprojection.c), verified in tests/unit/test_carving_hier.py.
+Engine: FUSED hierarchical conservative carve (parallel/carving_mp.py
+carve_fused) — the whole coarse-to-fine level loop is one jitted XLA
+program (no host syncs), bit-identical to the brute-force kernel
+semantics (kernels/backprojection.c), verified in
+tests/unit/test_parallel_carve.py. Each timed iteration includes host
+mask bit-packing + upload (cold-path protocol, same as round 1).
 Effective throughput counts the full workload's voxel-view tests against
 wall time.
 
@@ -54,19 +57,21 @@ def build_workload():
 
 
 def main():
-    from plant3dvision_tpu.ops.carving_hier import carve_hierarchical
+    from plant3dvision_tpu.parallel.carving_mp import carve_fused
 
     masks, cams, origin, voxel_size, shape = build_workload()
     valid = np.ones(len(masks), bool)
 
-    # warmup (compiles all stage programs)
-    vol = carve_hierarchical(masks, cams, valid, origin, voxel_size, shape)
+    # warmup (compiles the single fused program)
+    vol = carve_fused(masks, cams, valid, origin, voxel_size, shape,
+                      caps=(8192, 16384))
     assert (vol == 1).sum() > 1000, "carve produced an empty plant"
 
     times = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
-        carve_hierarchical(masks, cams, valid, origin, voxel_size, shape)
+        carve_fused(masks, cams, valid, origin, voxel_size, shape,
+                    caps=(8192, 16384))
         times.append(time.perf_counter() - t0)
     dt = min(times)
 

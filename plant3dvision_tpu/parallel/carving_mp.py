@@ -16,6 +16,8 @@ bit-for-bit (tests/unit/test_parallel_carve.py).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -111,41 +113,50 @@ def _exact_local(pts, cams, valid, masks_packed, H, W):
 
 
 def _gor(x, axis):
-    """Global OR across the mesh axis for a bool array."""
+    """Global OR across the mesh axis for a bool array (no-op when the
+    body runs unsharded, axis=None — the fused single-chip path)."""
+    if axis is None:
+        return x
     return jax.lax.pmax(x.astype(jnp.int8), axis) == 1
 
 
-def make_sharded_carver(mesh: Mesh, axis: str, H: int, W: int, V_total: int,
-                        shape, voxel_size: float, origin,
-                        start_level: int = 3, pyramid_levels: int = 8,
-                        cap: int = 8192):
-    """Builds a jitted SPMD carve for a fixed geometry.
+def _next_cap(n: int) -> int:
+    b = 4096
+    while b < n:
+        b <<= 1
+    return b
 
-    Returns fn(packed (V, B) view-sharded, cams (V, 16), valid (V,)) ->
-    replicated int8 volume of `shape`. `cap` bounds undecided cells per
-    level (static; raise for large scans).
-    """
-    from jax import shard_map
 
-    n_shards = mesh.shape[axis]
-    assert V_total % n_shards == 0, "pad views to a multiple of the mesh axis"
+def _make_carve_body(axis, H, W, shape,
+                     start_level, pyramid_levels, caps):
+    """The fused hierarchical carve: top level + all refinements in ONE
+    traced program with static per-level caps. Returns (volume int8,
+    undecided counts per level int32) — callers MUST check counts <= caps
+    (the result is invalid otherwise; wrappers re-jit with bigger caps).
+    `axis=None` runs unsharded (single chip); otherwise collectives join
+    per-level statuses across the view shard. Pass pmax/pmin to reuse
+    device-resident pyramids across carves (skips the in-program build);
+    origin and voxel_size are runtime arguments, so one compiled program
+    serves any grid placement of the same `shape`."""
     m = 1 << start_level
     grid = (-(-shape[0] // m), -(-shape[1] // m), -(-shape[2] // m))
     n_levels = pyramid_levels
     nx, ny, nz = shape
-    origin_np = np.asarray(origin, np.float32)
-    vs = float(voxel_size)
 
     plan = [(2, m // 2)]
     if m // 2 > 1:
         plan.append((m // 2, 1))
+    assert len(caps) >= len(plan), "one cap per refinement level"
 
-    def body(packed_l, cams_l, valid_l):
-        pmax_l, pmin_l = _build_local_pyramids(packed_l, H, W, n_levels)
+    def body(packed_l, cams_l, valid_l, origin_in, vs_in,
+             pmax_l=None, pmin_l=None):
+        vs = jnp.float32(vs_in)
+        if pmax_l is None:
+            pmax_l, pmin_l = _build_local_pyramids(packed_l, H, W, n_levels)
         _, _, _, level_off, level_w = _pyramid_shapes(H, W, n_levels)
         level_off = jnp.asarray(level_off)
         level_w = jnp.asarray(level_w)
-        origin_j = jnp.asarray(origin_np)
+        origin_j = jnp.asarray(origin_in, jnp.float32)
 
         # ---- top level ------------------------------------------------
         gx, gy, gz = grid
@@ -168,9 +179,12 @@ def make_sharded_carver(mesh: Mesh, axis: str, H: int, W: int, V_total: int,
         status = status.reshape(-1)
 
         # ---- refinement -------------------------------------------------
-        for factor, cell_vox in plan:
+        counts = []
+        for li, (factor, cell_vox) in enumerate(plan):
+            cap = caps[li]
             P_dense = gx * gy * gz
             undec_mask = status.reshape(-1) == UNDECIDED
+            counts.append(jnp.sum(undec_mask, dtype=jnp.int32))
             pidx = jnp.nonzero(undec_mask, size=cap, fill_value=P_dense)[0]
             pvalid = pidx < P_dense
             pidx_safe = jnp.minimum(pidx, P_dense - 1)
@@ -232,12 +246,85 @@ def make_sharded_carver(mesh: Mesh, axis: str, H: int, W: int, V_total: int,
                 hc = jnp.zeros(nxt.size, bool)
                 hit_carry = hc.at[safe_lin].max(any_hit_c, mode="drop")
 
-        return status.reshape(gx, gy, gz)[:nx, :ny, :nz]
+        return (status.reshape(gx, gy, gz)[:nx, :ny, :nz],
+                jnp.stack(counts))
 
+    return body
+
+
+def make_sharded_carver(mesh: Mesh, axis: str, H: int, W: int, V_total: int,
+                        shape, start_level: int = 3, pyramid_levels: int = 8,
+                        cap: int = 8192, caps=None):
+    """Builds a jitted SPMD carve for a fixed geometry.
+
+    Returns fn(packed (V, B) view-sharded, cams (V, 16), valid (V,),
+    origin (3,), voxel_size) -> (replicated int8 volume of `shape`,
+    per-level undecided counts). `caps` bounds undecided cells per
+    refinement level (static); check counts <= caps or use
+    carve_sharded_hierarchical, which retries."""
+    from jax import shard_map
+
+    n_shards = mesh.shape[axis]
+    assert V_total % n_shards == 0, "pad views to a multiple of the mesh axis"
+    if caps is None:
+        caps = (cap, cap)
+    body = _make_carve_body(axis, H, W, tuple(shape),
+                            start_level, pyramid_levels, tuple(caps))
     fn = shard_map(body, mesh=mesh,
-                   in_specs=(P(axis), P(axis), P(axis)),
-                   out_specs=P())
+                   in_specs=(P(axis), P(axis), P(axis), P(), P()),
+                   out_specs=(P(), P()))
     return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
+def make_fused_carver(H: int, W: int, shape,
+                      start_level: int = 3, pyramid_levels: int = 8,
+                      caps=(8192, 32768)):
+    """Single-chip FUSED hierarchical carve: the whole level loop is one
+    jitted program (no host syncs between levels — the round-1 carver,
+    ops/carving_hier.py:310-342, pays one dispatch + one scalar pull per
+    level). Same bit-exact semantics; same body as the sharded carver.
+
+    Returns fn(packed (V, B), cams (V, 16), valid (V,), origin (3,),
+    voxel_size[, pmax, pmin]) -> (volume int8, per-level undecided
+    counts). Check counts <= caps. lru-cached per geometry so repeated
+    carves reuse the compiled program."""
+    body = _make_carve_body(None, H, W, tuple(shape),
+                            start_level, pyramid_levels, tuple(caps))
+    return jax.jit(body)
+
+
+def carve_fused(masks, cameras, valid, origin, voxel_size, shape,
+                caps=(8192, 32768), packed=None, hw=None):
+    """One-shot fused single-chip carve with automatic cap retry.
+
+    Drop-in replacement for ops.carving_hier.carve_hierarchical (verified
+    bit-identical in tests/unit/test_parallel_carve.py). Pass `packed`
+    (from ops.carving_hier.pack_masks) + hw=(H, W) to skip the big mask
+    upload when reusing mask sets."""
+    if packed is None:
+        masks = np.asarray(masks)
+        V, H, W = masks.shape
+        packed = pack_masks(masks)
+    else:
+        H, W = hw
+    packed = jnp.asarray(packed)
+    cameras = jnp.asarray(cameras)
+    valid = jnp.asarray(valid)
+    origin = jnp.asarray(origin, jnp.float32)
+    caps = list(caps)
+    while True:
+        fn = make_fused_carver(H, W, tuple(shape), caps=tuple(caps))
+        vol, counts = fn(packed, cameras, valid, origin,
+                         jnp.float32(voxel_size))
+        counts = np.asarray(counts)
+        if (counts <= np.asarray(caps[:len(counts)])).all():
+            return np.asarray(vol)
+        # a level overflowed: its result is invalid — re-jit with the next
+        # power-of-two cap (counts from the overflowed run are exact,
+        # they're computed on the dense status volume before compaction)
+        caps = [_next_cap(int(n)) if n > c else c
+                for c, n in zip(caps, counts)]
 
 
 def carve_sharded_hierarchical(masks, cameras, valid, origin, voxel_size,
@@ -254,8 +341,17 @@ def carve_sharded_hierarchical(masks, cameras, valid, origin, voxel_size,
             [cameras, np.tile(cameras[-1:], (pad, 1))])
         valid = np.concatenate([valid, np.zeros(pad, bool)])
     packed = pack_masks(masks)
-    fn = make_sharded_carver(mesh, axis, H, W, len(masks), tuple(shape),
-                             voxel_size, origin, cap=cap)
-    with mesh:
-        return np.asarray(fn(jnp.asarray(packed), jnp.asarray(cameras),
-                             jnp.asarray(valid)))
+    caps = [cap, cap]
+    while True:
+        fn = make_sharded_carver(mesh, axis, H, W, len(masks), tuple(shape),
+                                 caps=tuple(caps))
+        with mesh:
+            vol, counts = fn(jnp.asarray(packed), jnp.asarray(cameras),
+                             jnp.asarray(valid),
+                             jnp.asarray(origin, jnp.float32),
+                             jnp.float32(voxel_size))
+        counts = np.asarray(counts)
+        if (counts <= np.asarray(caps[:len(counts)])).all():
+            return np.asarray(vol)
+        caps = [_next_cap(int(n)) if n > c else c
+                for c, n in zip(caps, counts)]

@@ -31,6 +31,34 @@ def test_sharded_hier_matches_dense_4dev():
     np.testing.assert_array_equal(d, h)
 
 
+def test_fused_single_chip_matches_dense():
+    """The fused (one-jit, no host syncs) single-chip carve is bit-exact."""
+    from plant3dvision_tpu.parallel.carving_mp import carve_fused
+    masks, cams = _synthetic_views(n_views=12, H=128, W=128, radius=8.0,
+                                   dist_cam=50.0)
+    valid = np.ones(12, bool)
+    origin = np.array([-20.0, -20.0, -20.0], np.float32)
+    shape = (40, 40, 40)
+    d = _dense(masks, cams, valid, origin, 1.0, shape)
+    f = carve_fused(masks, cams, valid, origin, 1.0, shape)
+    np.testing.assert_array_equal(d, f)
+
+
+def test_fused_cap_overflow_retries():
+    """Deliberately tiny static caps: the wrapper must detect the
+    overflow from the in-program counts and re-jit with bigger caps —
+    never return a silently truncated volume."""
+    from plant3dvision_tpu.parallel.carving_mp import carve_fused
+    masks, cams = _synthetic_views(n_views=12, H=128, W=128, radius=8.0,
+                                   dist_cam=50.0)
+    valid = np.ones(12, bool)
+    origin = np.array([-20.0, -20.0, -20.0], np.float32)
+    shape = (40, 40, 40)
+    d = _dense(masks, cams, valid, origin, 1.0, shape)
+    f = carve_fused(masks, cams, valid, origin, 1.0, shape, caps=(4, 4))
+    np.testing.assert_array_equal(d, f)
+
+
 def test_sharded_hier_view_padding_8dev():
     """Views not divisible by the mesh axis get padded with valid=False."""
     mesh = make_mesh({"dp": 8})
