@@ -155,6 +155,45 @@ def read_obj(file: File):
                         np.asarray(faces, dtype=np.int64))
 
 
+def read_obj_materials(file: File):
+    """Wavefront OBJ split by material: {material_name: TriangleMesh}.
+
+    The virtual-plant ground truth ships one `usemtl` block per organ
+    class (fruit/leaf/pedicel/stem) — the reference reads it with
+    pywavefront (tasks/evaluation.py:96-98, :222-226); this is a
+    dependency-free parser with the same per-mesh split. Vertices are
+    re-indexed per material (unreferenced vertices removed, as
+    open3d.remove_unreferenced_vertices does in the reference)."""
+    from .geometry import TriangleMesh
+    import numpy as np
+    verts = []
+    faces_by_mtl = {}
+    current = "default"
+    with open(file.path() if isinstance(file, File) else file) as fh:
+        for line in fh:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "v":
+                verts.append([float(x) for x in parts[1:4]])
+            elif parts[0] == "usemtl":
+                current = parts[1] if len(parts) > 1 else "default"
+            elif parts[0] == "f":
+                idx = [int(p.split("/")[0]) - 1 for p in parts[1:]]
+                tris = faces_by_mtl.setdefault(current, [])
+                for k in range(1, len(idx) - 1):
+                    tris.append([idx[0], idx[k], idx[k + 1]])
+    verts = np.asarray(verts, dtype=float)
+    out = {}
+    for mtl, tris in faces_by_mtl.items():
+        tris = np.asarray(tris, dtype=np.int64)
+        used = np.unique(tris)
+        remap = np.full(len(verts), -1, dtype=np.int64)
+        remap[used] = np.arange(len(used))
+        out[mtl] = TriangleMesh(verts[used], remap[tris])
+    return out
+
+
 def write_obj(file: File, mesh) -> None:
     lines = [f"v {x} {y} {z}" for x, y, z in mesh.vertices]
     lines += [f"f {a + 1} {b + 1} {c + 1}" for a, b, c in mesh.triangles]

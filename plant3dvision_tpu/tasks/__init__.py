@@ -25,7 +25,7 @@ from .proc3d import (  # noqa: F401
     OrganSegmentation,
 )
 from .arabidopsis import TreeGraph, AnglesAndInternodes  # noqa: F401
-from .colmap import Colmap  # noqa: F401
+from .colmap import Colmap, TurntableCalibration  # noqa: F401
 from ..runtime.task import NamedFilesetExists  # noqa: F401
 from .calibration import (  # noqa: F401
     CreateCharucoBoard,
@@ -37,6 +37,7 @@ from .calibration import (  # noqa: F401
 )
 from .evaluation import (  # noqa: F401
     AnglesAndInternodesEvaluation,
+    ClusteredMeshGroundTruth,
     CylinderRadiusEstimation,
     CylinderRadiusGroundTruth,
     PointCloudEvaluation,
@@ -44,4 +45,5 @@ from .evaluation import (  # noqa: F401
     Segmentation2DEvaluation,
     SegmentedPointCloudEvaluation,
     VoxelsEvaluation,
+    VoxelsGroundTruth,
 )

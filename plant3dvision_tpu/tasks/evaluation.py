@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from .. import proc3d
 from ..fsdb import io
 from ..runtime.log import configure_logger
 from ..runtime.task import Parameter, RomiTask
@@ -50,6 +51,82 @@ class PointCloudGroundTruth(RomiTask):
             v = vp_file.get_metadata(key)
             if v is not None:
                 outfile.set_metadata(key, v)
+
+
+def _single_input_fileset(task):
+    inp = task.input()
+    if isinstance(inp, (list, tuple)):
+        inp = inp[0]
+    return inp.get(create=False)
+
+
+def _find_obj_file(fs):
+    for f in fs.get_files():
+        if (f.filename or "").endswith(".obj"):
+            return f
+    raise FileNotFoundError(f"no .obj ground truth in fileset {fs.id}")
+
+
+class VoxelsGroundTruth(RomiTask):
+    """Per-organ ground-truth voxel volumes from the virtual plant's
+    OBJ/MTL (reference tasks/evaluation.py:71-130): voxelize each
+    material's sub-mesh at the carving voxel size over the OBJ bbox,
+    apply the lpy axis fix (swap y/z, flip y), and add a background
+    channel = 1 - union(labels). Output: one NPZ keyed by label."""
+
+    upstream_task = Parameter(default="VirtualPlantObj")
+    voxel_size = Parameter(default=1.0)
+
+    def run(self):
+        fs = _single_input_fileset(self)
+        obj_file = _find_obj_file(fs)
+        meshes = io.read_obj_materials(obj_file)
+        vs = float(self.voxel_size)
+        allv = np.concatenate([m.vertices for m in meshes.values()])
+        vmin = allv.min(axis=0)
+        vmax = allv.max(axis=0)
+        # grid-shape rule of the reference (tasks/evaluation.py:102)
+        shape = tuple(np.asarray((vmax - vmin) / vs + 1, int) + 1)
+        res = {}
+        for label, m in meshes.items():
+            arr = proc3d.voxelize_surface(m, vs, vmin, shape).astype(float)
+            # lpy's OBJ axes -> scanner axes (tasks/evaluation.py:120-122)
+            arr = np.flip(np.swapaxes(arr, 2, 1), 1)
+            res[label] = arr
+        bg = np.ones_like(next(iter(res.values())))
+        for arr in res.values():
+            bg = np.minimum(bg, 1 - arr)
+        res["background"] = bg
+        outfile = self.output_file()
+        io.write_npz(outfile, res)
+        outfile.set_metadata({"voxel_size": vs, "origin": vmin.tolist()})
+
+
+class ClusteredMeshGroundTruth(RomiTask):
+    """Per-organ connected-component ground-truth meshes from the virtual
+    plant's OBJ (reference tasks/evaluation.py:198-253): each material's
+    sub-mesh is split into vertex-connected components, written as
+    individual mesh files with a 'label' metadata."""
+
+    upstream_task = Parameter(default="VirtualPlantObj")
+
+    def run(self):
+        from ..fsdb.geometry import TriangleMesh
+
+        fs = _single_input_fileset(self)
+        obj_file = _find_obj_file(fs)
+        meshes = io.read_obj_materials(obj_file)
+        outfs = self.output().get()
+        for label, m in meshes.items():
+            pts = m.vertices[:, [0, 2, 1]].copy()
+            pts[:, 1] *= -1  # lpy axes (reference tasks/evaluation.py:233-235)
+            m2 = TriangleMesh(pts, m.triangles)
+            tlabel, counts = m2.connected_components()
+            for j in range(len(counts)):
+                sub = m2.select_triangles(tlabel == j)
+                f = outfs.get_file(f"{label}_{j:03d}", create=True)
+                io.write_triangle_mesh(f, sub)
+                f.set_metadata("label", label)
 
 
 class PointCloudEvaluation(EvaluationTask):
@@ -163,21 +240,25 @@ class CylinderRadiusGroundTruth(RomiTask):
     """Synthetic cylinder scan GT (reference tasks/evaluation.py:480-540)."""
 
     upstream_task = Parameter(default="ImagesFilesetExists", significant=False)
-    radius = Parameter(default=10.0)
+    radius = Parameter(default=10.0)      # float or "random" (ref :497-505)
     height = Parameter(default=40.0)
     nb_points = Parameter(default=10000)
+    seed = Parameter(default=0, significant=False)
 
     def requires(self):
         return []
 
     def run(self):
         from ..evaluation import make_cylinder_pcd
-        pcd = make_cylinder_pcd(float(self.radius), float(self.height),
-                                int(self.nb_points))
+        rng = np.random.default_rng(int(self.seed) or None)
+        radius = (float(rng.uniform(1, 100)) if self.radius == "random"
+                  else float(self.radius))
+        height = (float(rng.uniform(1, 100)) if self.height == "random"
+                  else float(self.height))
+        pcd = make_cylinder_pcd(radius, height, int(self.nb_points))
         outfile = self.output_file()
         io.write_point_cloud(outfile, pcd)
-        outfile.set_metadata({"radius": float(self.radius),
-                              "height": float(self.height)})
+        outfile.set_metadata({"radius": radius, "height": height})
 
 
 class CylinderRadiusEstimation(EvaluationTask):
