@@ -191,11 +191,192 @@ def compare_angles(scans, free_ends=0.4):
     return results
 
 
+def compare_to_cnc_poses(scans):
+    """Estimated camera centers vs the CNC hardware poses
+    (reference compare.py:492-581): per-image distance to the CNC pose
+    and to the cross-replicate mean pose, plus per-replicate and global
+    means."""
+    from .camera import compute_estimated_pose
+    from .tasks.colmap import get_cnc_poses
+
+    cnc = {}
+    for scan in scans:
+        cnc = get_cnc_poses(scan)
+        if cnc:
+            break
+    if not cnc:
+        logger.warning("compare_to_cnc_poses: no CNC poses in any scan")
+        return {}
+
+    est = {}  # {scan_id: {img_id: center}}
+    for scan in scans:
+        images = scan.get_fileset("images")
+        if images is None:
+            continue
+        for f in images.get_files():
+            cam = f.get_metadata("colmap_camera")
+            if cam:
+                est.setdefault(scan.id, {})[f.id] = np.asarray(
+                    compute_estimated_pose(cam["rotmat"], cam["tvec"]))
+
+    dist2cnc = {}   # {img_id: [per-replicate distance]}
+    by_image = {}
+    for sid, poses in est.items():
+        for im, c in poses.items():
+            if im in cnc:
+                dist2cnc.setdefault(im, []).append(
+                    float(np.linalg.norm(c - cnc[im])))
+                by_image.setdefault(im, []).append(c)
+    if not dist2cnc:
+        return {}
+    mean_pose = {im: np.mean(np.asarray(cs), axis=0)
+                 for im, cs in by_image.items()}
+    dist2mean = {im: [float(np.linalg.norm(c - mean_pose[im])) for c in cs]
+                 for im, cs in by_image.items()}
+    per_rep = {}
+    for sid, poses in est.items():
+        ds = [float(np.linalg.norm(c - cnc[im]))
+              for im, c in poses.items() if im in cnc]
+        per_rep[sid] = float(np.mean(ds)) if ds else None
+    return {
+        "global_mean_distance_to_cnc": float(np.mean(
+            [d for ds in dist2cnc.values() for d in ds])),
+        "replicate_mean_distance_to_cnc": per_rep,
+        "mean_distance_to_cnc": {im: float(np.mean(ds))
+                                 for im, ds in dist2cnc.items()},
+        "global_mean_distance_to_mean": float(np.mean(
+            [d for ds in dist2mean.values() for d in ds])),
+        "std_distance_to_mean": {im: float(np.std(ds))
+                                 for im, ds in dist2mean.items()},
+    }
+
+
+def compare_to_calibrated_poses(scans, calibration_scan=None):
+    """Estimated camera centers vs `calibrated_pose` metadata from an
+    ExtrinsicCalibration scan (reference compare.py:584-676)."""
+    from .camera import compute_estimated_pose
+
+    calib = {}
+    sources = ([calibration_scan] if calibration_scan is not None
+               else list(scans))
+    for scan in sources:
+        images = scan.get_fileset("images")
+        if images is None:
+            continue
+        for f in images.get_files():
+            p = f.get_metadata("calibrated_pose")
+            if p is not None:
+                calib[f.id] = np.asarray(p[:3], dtype=float)
+        if calib:
+            break
+    if not calib:
+        logger.warning("compare_to_calibrated_poses: no calibrated_pose")
+        return {}
+
+    out = {}
+    dists_all = []
+    for scan in scans:
+        images = scan.get_fileset("images")
+        if images is None:
+            continue
+        ds = {}
+        for f in images.get_files():
+            cam = f.get_metadata("colmap_camera")
+            if cam and f.id in calib:
+                c = np.asarray(compute_estimated_pose(cam["rotmat"],
+                                                      cam["tvec"]))
+                ds[f.id] = float(np.linalg.norm(c - calib[f.id]))
+        if ds:
+            out[scan.id] = {"mean": float(np.mean(list(ds.values()))),
+                            "per_image": ds}
+            dists_all += list(ds.values())
+    if not out:
+        return {}
+    return {"global_mean_distance_to_calibrated": float(np.mean(dists_all)),
+            "per_replicate": out}
+
+
+def compare_labelled_point_clouds(scans):
+    """Pairwise label-transfer metrics on segmented point clouds
+    (reference compare.py:862-949, via CompareSegmentedPointClouds)."""
+    from .metrics import CompareSegmentedPointClouds
+    results = {}
+    pcds = []
+    for s in scans:
+        fs = _task_fileset(s, "SegmentedPointCloud")
+        if fs is None or not fs.get_files():
+            continue
+        f = fs.get_files()[0]
+        pcd = io.read_point_cloud(f)
+        labels = f.get_metadata("labels")
+        if labels:
+            pcds.append((s, pcd, labels))
+    for (s1, p1, l1), (s2, p2, l2) in itertools.combinations(pcds, 2):
+        cmp_ = CompareSegmentedPointClouds(p1, l1, p2, l2)
+        results[f"{s1.id}-vs-{s2.id}"] = cmp_.results
+    return results
+
+
+# -- figure writers (reference compare.py:56-174) -------------------------
+
+def pairwise_heatmap(pw_dict, metric, path, title=None):
+    """Heatmap PNG of a pairwise comparison dict {'a-vs-b': {metric: v}}
+    (reference compare.py:95-174)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    ids = sorted({i for k in pw_dict for i in k.split("-vs-")})
+    n = len(ids)
+    mat = np.full((n, n), np.nan)
+    for k, v in pw_dict.items():
+        a, b = k.split("-vs-")
+        val = v.get(metric)
+        if val is None:
+            continue
+        i, j = ids.index(a), ids.index(b)
+        mat[i, j] = mat[j, i] = val
+    fig, ax = plt.subplots(figsize=(max(4, 0.6 * n), max(3, 0.5 * n)))
+    im = ax.imshow(mat, cmap="viridis")
+    ax.set_xticks(range(n), ids, rotation=90, fontsize=7)
+    ax.set_yticks(range(n), ids, fontsize=7)
+    fig.colorbar(im, ax=ax, label=metric)
+    ax.set_title(title or metric)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path
+
+
+def save_data_repartition(data, data_type, path):
+    """Boxplot + histogram of a metric's distribution
+    (reference compare.py:56-92)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    data = np.asarray([d for d in np.ravel(list(data)) if d is not None],
+                      dtype=float)
+    fig, axes = plt.subplots(1, 2, figsize=(8, 3))
+    if len(data):
+        axes[0].boxplot(data, orientation="vertical")
+        axes[1].hist(data, bins=min(20, max(5, len(data) // 3)))
+    axes[0].set_title(f"{data_type} boxplot")
+    axes[1].set_title(f"{data_type} distribution")
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path
+
+
 COMPARISON_FUNCTIONS = {
     "Colmap": compare_poses,
+    "TurntableCalibration": compare_to_cnc_poses,
+    "ExtrinsicCalibration": compare_to_cnc_poses,
     "Masks": compare_masks,
     "Voxels": compare_voxels,
     "PointCloud": compare_point_clouds,
+    "SegmentedPointCloud": compare_labelled_point_clouds,
     "TriangleMesh": compare_meshes,
     "CurveSkeleton": compare_skeletons,
     "AnglesAndInternodes": compare_angles,

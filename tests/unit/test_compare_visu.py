@@ -62,6 +62,69 @@ def test_compare_functions(temp_db):
     assert all(v["spread"] < 1e-9 for v in pose_res.values())
 
 
+def test_compare_pose_libraries(temp_db, tmp_path):
+    """vs-CNC / vs-calibrated pose comparisons + figure writers
+    (reference compare.py:56-174, 492-676)."""
+    from plant3dvision_tpu.camera import pose_to_extrinsics
+
+    rng = np.random.default_rng(0)
+    scans = []
+    for rep in range(2):
+        scan = temp_db.create_scan(f"pose_rep{rep}")
+        images = scan.get_fileset("images", create=True)
+        for i in range(6):
+            a = 2 * np.pi * i / 6
+            c = np.array([100 * np.cos(a), 100 * np.sin(a), 50.0])
+            R, t = pose_to_extrinsics(c + rng.normal(0, 0.5, 3), (0, 0, 40))
+            f = images.get_file(f"{i:03d}_rgb", create=True)
+            f.write_raw(b"x", "txt")
+            f.set_metadata("approximate_pose",
+                           [c[0], c[1], c[2], np.degrees(a) + 90.0, 0.0])
+            f.set_metadata("calibrated_pose", (c + 0.1).tolist())
+            f.set_metadata("colmap_camera", {
+                "camera_model": {"model": "OPENCV",
+                                 "params": [700, 700, 112, 112, 0, 0, 0, 0],
+                                 "width": 224, "height": 224},
+                "rotmat": R.tolist(), "tvec": t.tolist()})
+        scans.append(scan)
+
+    cnc = compare.compare_to_cnc_poses(scans)
+    assert 0 < cnc["global_mean_distance_to_cnc"] < 3.0
+    assert len(cnc["mean_distance_to_cnc"]) == 6
+    assert set(cnc["replicate_mean_distance_to_cnc"]) == {
+        "pose_rep0", "pose_rep1"}
+
+    cal = compare.compare_to_calibrated_poses(scans)
+    assert 0 < cal["global_mean_distance_to_calibrated"] < 3.0
+    assert "pose_rep0" in cal["per_replicate"]
+
+    # figure writers
+    pw = {"a-vs-b": {"chamfer": 0.5}, "a-vs-c": {"chamfer": 0.7},
+          "b-vs-c": {"chamfer": 0.2}}
+    p1 = compare.pairwise_heatmap(pw, "chamfer", tmp_path / "hm.png")
+    assert p1.stat().st_size > 1000
+    p2 = compare.save_data_repartition([0.5, 0.7, 0.2], "chamfer",
+                                       tmp_path / "rep.png")
+    assert p2.stat().st_size > 1000
+
+
+def test_compare_labelled_point_clouds(temp_db):
+    rng = np.random.default_rng(1)
+    pts = rng.random((200, 3)) * 10
+    labels = ["stem" if z < 5 else "fruit" for z in pts[:, 2]]
+    for rep in range(2):
+        scan = temp_db.create_scan(f"seg_rep{rep}")
+        fs = scan.get_fileset("SegmentedPointCloud__fake00000", create=True)
+        f = fs.get_file("SegmentedPointCloud", create=True)
+        io.write_point_cloud(f, PointCloud(pts))
+        f.set_metadata("labels", labels)
+    res = compare.compare_labelled_point_clouds(
+        [temp_db.get_scan("seg_rep0"), temp_db.get_scan("seg_rep1")])
+    key = "seg_rep0-vs-seg_rep1"
+    assert key in res
+    assert res[key]["miou"] == 1.0 or "per-label" in res[key]
+
+
 def test_visu_figures(tmp_path, rng):
     pts = rng.random((500, 3)) * 10
     visu.point_cloud_figure(PointCloud(pts), tmp_path / "pcd.png")
