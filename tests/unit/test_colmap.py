@@ -56,8 +56,13 @@ def test_qvec_rotmat_roundtrip(rng):
 FAKE_COLMAP = r'''#!/usr/bin/env python3
 """Fake colmap binary: emits a plausible aligned sparse model built from
 poses.txt, so the runner/task plumbing can be tested hermetically."""
-import sys, struct
+import os, sys, struct
 from pathlib import Path
+
+if len(sys.argv) < 2 or sys.argv[1] in ("-h", "--help"):
+    ver = os.environ.get("FAKE_COLMAP_VERSION", "3.8")
+    print(f"COLMAP {ver} -- Structure-from-Motion and Multi-View Stereo")
+    sys.exit(0)
 
 args = dict(zip(sys.argv[2::2], sys.argv[3::2]))
 sub = sys.argv[1]
@@ -98,12 +103,24 @@ if sub == "mapper":
         poses = [[40*math.cos(2*math.pi*i/n), 40*math.sin(2*math.pi*i/n), 10.0]
                  for i in range(n)]
     write_model(Path(args["--output_path"]) / "0", poses, names)
+    if os.environ.get("FAKE_COLMAP_EXTRA_MODEL"):
+        # a second, smaller reconstruction (tests model picking)
+        write_model(Path(args["--output_path"]) / "1", poses[:2], names[:2])
 elif sub == "model_aligner":
     import shutil
+    # COLMAP <= 3.9 spells the threshold differently; the runner must
+    # send the right one for the reported version (ref colmap.py:1002)
+    ver = os.environ.get("FAKE_COLMAP_VERSION", "3.8")
+    want = ("--robust_alignment_max_error"
+            if tuple(map(int, ver.split("."))) <= (3, 9)
+            else "--alignment_max_error")
+    assert want in args, f"missing {want} in {sorted(args)}"
     src, dst = Path(args["--input_path"]), Path(args["--output_path"])
     dst.mkdir(parents=True, exist_ok=True)
     for f in src.glob("*.bin"):
         shutil.copy(f, dst / f.name)
+elif sub == "model_analyzer":
+    print("Cameras: 1\nImages: 2\nPoints: 50")
 # all other subcommands: no-op success
 sys.exit(0)
 '''
@@ -197,3 +214,70 @@ def test_blind_angle_raises(temp_db, fake_colmap, tmp_path):
     # images in the bad arc were flagged
     flags = [f.get_metadata("pose_estimation") for f in images.get_files()]
     assert flags.count("incorrect") == 3
+
+
+def test_runner_version_validation(fake_colmap, tmp_path):
+    """Version < 3.6 is rejected (reference colmap.py:757-761)."""
+    from plant3dvision_tpu.colmap.runner import (ColmapError, ColmapRunner,
+                                                 parse_colmap_version)
+
+    assert parse_colmap_version("COLMAP 3.8 -- SfM") == (3, 8)
+    assert parse_colmap_version("COLMAP 3.11.1-dev") == (3, 11)
+    assert parse_colmap_version("garbage") is None
+
+    os.environ["FAKE_COLMAP_VERSION"] = "3.5"
+    try:
+        runner = ColmapRunner([], workdir=tmp_path / "wd_v")
+        with pytest.raises(ColmapError, match="3.6 is required"):
+            runner.validate_exe()
+    finally:
+        os.environ.pop("FAKE_COLMAP_VERSION", None)
+    runner = ColmapRunner([], workdir=tmp_path / "wd_v2")
+    runner.validate_exe()
+    assert runner.version == (3, 8)
+
+
+def test_runner_picks_largest_reconstruction(temp_db, fake_colmap, tmp_path):
+    """With several mapper outputs, the biggest model is used; the
+    analyzer stats are captured (reference weakness: assumed sparse/0)."""
+    scan = temp_db.create_scan("s3")
+    images = scan.create_fileset("images")
+    for v in range(6):
+        f = images.create_file(f"{v:05d}_rgb")
+        f.write_raw(b"\xff\xd8fake", "jpg")
+        a = 2 * np.pi * v / 6
+        f.set_metadata({"channel": "rgb",
+                        "approximate_pose": [40 * np.cos(a), 40 * np.sin(a),
+                                             10.0, np.degrees(a), 0]})
+    from plant3dvision_tpu.colmap.runner import ColmapRunner
+    os.environ["FAKE_COLMAP_EXTRA_MODEL"] = "1"
+    try:
+        runner = ColmapRunner(images.get_files(), workdir=tmp_path / "wd3")
+        points, imgs, cams, sparse, dense, bbox = runner.run()
+    finally:
+        os.environ.pop("FAKE_COLMAP_EXTRA_MODEL", None)
+    assert runner.model_dir.name == "0"          # 6 imgs > 2 imgs
+    assert len(imgs) == 6
+    assert runner.analyzer_stats and "Points" in runner.analyzer_stats
+
+
+def test_runner_newer_version_aligner_arg(temp_db, fake_colmap, tmp_path):
+    """COLMAP > 3.9 gets 'alignment_max_error' (the fake asserts the
+    spelling matches the version it reports)."""
+    scan = temp_db.create_scan("s4")
+    images = scan.create_fileset("images")
+    for v in range(4):
+        f = images.create_file(f"{v:05d}_rgb")
+        f.write_raw(b"\xff\xd8fake", "jpg")
+        a = 2 * np.pi * v / 4
+        f.set_metadata({"channel": "rgb",
+                        "approximate_pose": [40 * np.cos(a), 40 * np.sin(a),
+                                             10.0, np.degrees(a), 0]})
+    from plant3dvision_tpu.colmap.runner import ColmapRunner
+    os.environ["FAKE_COLMAP_VERSION"] = "3.10"
+    try:
+        runner = ColmapRunner(images.get_files(), workdir=tmp_path / "wd4")
+        runner.run()
+        assert runner.version == (3, 10)
+    finally:
+        os.environ.pop("FAKE_COLMAP_VERSION", None)
