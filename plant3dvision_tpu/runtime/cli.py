@@ -38,6 +38,10 @@ def main(argv=None):
     ap.add_argument("task", help="Task name (e.g. AnglesAndInternodes)")
     ap.add_argument("dataset", help="Path to the dataset: <db>/<scan_id>")
     ap.add_argument("--config", default=None, help="TOML pipeline config")
+    ap.add_argument("--param", action="append", default=[],
+                    metavar="Task.key=value",
+                    help="Override a single task parameter on top of the "
+                         "config (repeatable), e.g. Voxels.voxel_size=0.5")
     ap.add_argument("--log-level", default="INFO")
     args = ap.parse_args(argv)
 
@@ -53,6 +57,18 @@ def main(argv=None):
             f"Unknown task '{args.task}'. Known tasks:\n  "
             + "\n  ".join(TaskRegistry.known()))
     ctx = RunContext.from_paths(db_path, scan_id, args.config)
+    for override in args.param:
+        try:
+            key, value = override.split("=", 1)
+            task_name, param = key.split(".", 1)
+        except ValueError:
+            raise SystemExit(f"Bad --param (want Task.key=value): {override}")
+        try:
+            import json as _json
+            value = _json.loads(value)
+        except ValueError:
+            pass  # keep the raw string
+        ctx.config.setdefault(task_name, {})[param] = value
     try:
         run_task(ctx, args.task)
     finally:
