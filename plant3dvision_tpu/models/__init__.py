@@ -36,4 +36,6 @@ def segmentation(Sx, Sy, image_files, model_file, batch_size=4):
         imgs.append(img[y0: y0 + Sy, x0: x0 + Sx, :3])
     probs = segmentation_inference(model, params, np.stack(imgs),
                                    batch_size=batch_size)
+    if probs.dtype == np.uint8:       # quantized transfer (unet.py)
+        probs = probs.astype(np.float32) / 255.0
     return probs, labels

@@ -10,6 +10,7 @@ TPU design notes:
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import math
@@ -119,34 +120,75 @@ def pad_to_multiple(img, multiple=32):
     return jnp.pad(img, pad), (H, W)
 
 
-def segmentation_inference(model, params, images, batch_size=4):
+@functools.lru_cache(maxsize=16)
+def _fwd_program(model, H, W, cdt_str, is_uint8, quantize):
+    cdt = jnp.dtype(cdt_str)
+    ph, pw = (-H) % 32, (-W) % 32
+
+    @jax.jit
+    def fwd(params, batch):
+        x = batch.astype(cdt)
+        if is_uint8:
+            x = x / jnp.asarray(255.0, cdt)
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        logits = model.apply(params, x)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        probs = probs[:, :H, :W, :]
+        if quantize:
+            # device->host links can be the bottleneck (remote TPU relay
+            # here; PCIe elsewhere): ship probabilities as uint8/255 —
+            # the consumers binarize or write 8-bit PNGs anyway
+            probs = (probs * 255.0 + 0.5).astype(jnp.uint8)
+        return probs
+
+    return fwd
+
+
+def segmentation_inference(model, params, images, batch_size=8,
+                           compute_dtype="bfloat16",
+                           output_dtype="uint8"):
     """Batched softmax inference over (N, H, W, 3) uint8/float images.
 
-    Returns (N, n_classes, H, W) float32 probabilities — the reference's
-    romiseg output layout (tasks/proc2d.py:351-359).
+    Returns (N, n_classes, H, W) probabilities in `output_dtype` — the
+    reference's romiseg output layout (tasks/proc2d.py:351-359); uint8
+    means probs * 255 (default: 4x less device->host traffic, lossless
+    for the 8-bit PNG / binarize consumers). Pass "float32" for [0, 1].
+
+    TPU shaping: the whole conv stack runs in bfloat16 (MXU-native; the
+    softmax is taken in float32), raw uint8 batches are shipped to the
+    device and normalized there (4x less PCIe/ICI traffic than f32), and
+    dispatch is DOUBLE-BUFFERED — batch i+1 is enqueued before batch i's
+    result is pulled, hiding host decode + transfer under device compute.
     """
     import numpy as np
 
     imgs = np.asarray(images)
-    if imgs.dtype == np.uint8:
-        imgs = imgs.astype(np.float32) / 255.0
     N, H, W, _ = imgs.shape
-    ph, pw = (-H) % 32, (-W) % 32
+    cdt = jnp.dtype(compute_dtype)
+    params_c = jax.tree.map(
+        lambda x: x.astype(cdt) if jnp.issubdtype(x.dtype, jnp.floating)
+        else x, params)
+    # the compiled program is cached across calls (a fresh closure per
+    # call would recompile the full CNN every time — tens of seconds of
+    # remote XLA compile per Segmentation2D task invocation)
+    quantize = jnp.dtype(output_dtype) == jnp.uint8
+    fwd = _fwd_program(model, H, W, str(cdt), imgs.dtype == np.uint8,
+                       quantize)
 
-    @jax.jit
-    def fwd(batch):
-        batch = jnp.pad(batch, ((0, 0), (0, ph), (0, pw), (0, 0)))
-        logits = model.apply(params, batch)
-        probs = jax.nn.softmax(logits, axis=-1)
-        return probs[:, :H, :W, :]
-
+    pending = []   # (device result, n_valid) — depth-2 pipeline
     outs = []
     for i in range(0, N, batch_size):
         chunk = imgs[i: i + batch_size]
         pad_n = batch_size - len(chunk)
         if pad_n:
-            chunk = np.concatenate([chunk, np.zeros((pad_n, H, W, 3), np.float32)])
-        probs = np.asarray(fwd(jnp.asarray(chunk)))
-        outs.append(probs[: batch_size - pad_n if pad_n else batch_size])
+            chunk = np.concatenate(
+                [chunk, np.zeros((pad_n, H, W, 3), chunk.dtype)])
+        pending.append((fwd(params_c, jnp.asarray(chunk)),
+                        batch_size - pad_n))
+        if len(pending) > 1:
+            res, n_valid = pending.pop(0)
+            outs.append(np.asarray(res)[:n_valid])
+    for res, n_valid in pending:
+        outs.append(np.asarray(res)[:n_valid])
     probs = np.concatenate(outs)
     return np.moveaxis(probs, -1, 1)  # (N, C, H, W)

@@ -122,6 +122,45 @@ def average(masks, cameras, valid, origin, voxel_size, shape):
     return acc
 
 
+@functools.partial(jax.jit, static_argnames=("shape",))
+def carve_tolerant(masks, cameras, valid, origin, voxel_size, shape,
+                   max_kills):
+    """Vote-based carve: a voxel survives up to `max_kills` dissenting
+    views (strict carve = max_kills 0, the kernel semantics).
+
+    Rationale: the reference can afford the strict ANY-view kill because
+    COLMAP poses are sub-pixel (colmap.py:977-1008); with CNC+self-
+    calibrated poses (ops/selfcal.py, ops/sfmlite.py — a few px of
+    residual per view) a single misaligned view would erase thin organs.
+    The vote tolerance trades a slightly fatter hull for robustness —
+    the same idea as the reference's VoxelsWithPrior likelihood ratios
+    (tasks/proc3d.py:642-694) with a hard threshold.
+
+    Returns int8: -1 killed / 1 alive-and-seen / 0 unobserved.
+    """
+    V, H, W = masks.shape
+    origin = jnp.asarray(origin, jnp.float32)
+    voxel_size = jnp.float32(voxel_size)
+    masks_flat = (masks.reshape(V, H * W) != 0)
+
+    def body(carry, inputs):
+        kills, seen = carry
+        mask_flat, cam, ok = inputs
+        _, _, pxi, pyi, in_img = _project(cam, origin, voxel_size, shape, W, H)
+        lin = jnp.clip(pyi, 0, H - 1) * W + jnp.clip(pxi, 0, W - 1)
+        hit = jnp.take(mask_flat, lin.reshape(-1), axis=0).reshape(shape)
+        in_img = jnp.logical_and(in_img, ok)
+        kills = kills + (in_img & ~hit).astype(jnp.int16)
+        seen = seen | (in_img & hit)
+        return (kills, seen), None
+
+    init = (jnp.zeros(shape, jnp.int16), jnp.zeros(shape, bool))
+    (kills, seen), _ = jax.lax.scan(body, init, (masks_flat, cameras, valid))
+    killed = kills > jnp.int16(max_kills)
+    return jnp.where(killed, jnp.int8(-1),
+                     jnp.where(seen, jnp.int8(1), jnp.int8(0)))
+
+
 def pack_camera(intrinsics, rot, tvec) -> np.ndarray:
     """[fx,fy,cx,cy] + 3x3 rotmat + tvec -> (16,) float32 row."""
     out = np.zeros(16, dtype=np.float32)
@@ -145,7 +184,8 @@ class Backprojection:
     """
 
     def __init__(self, shape, origin, voxel_size, type="carving",
-                 default_value=0, labels=None, log=False):
+                 default_value=0, labels=None, log=False,
+                 kill_tolerance=0):
         self.shape = tuple(int(s) for s in shape)
         self.origin = np.asarray(origin, dtype=np.float32)
         self.voxel_size = float(voxel_size)
@@ -153,6 +193,7 @@ class Backprojection:
         self.default_value = default_value
         self.labels = labels
         self.log = log
+        self.kill_tolerance = int(kill_tolerance)
         if type not in ("carving", "averaging"):
             raise ValueError(
                 f"Unknown kernel type {type}, valid values are 'averaging' or 'carving'!")
@@ -177,15 +218,23 @@ class Backprojection:
         cams = np.stack(self._pending_cams)
         valid = np.ones(len(masks), dtype=bool)
         if self.type == "carving":
-            # hierarchical carve: bit-identical, ~6x fewer gathers; the
-            # per-view-compacted variant wins once straddle sets are much
-            # smaller than the view count (large scans)
-            if len(masks) > 100:
-                from .carving_pv import carve_perview as _carve_h
+            if self.kill_tolerance > 0:
+                # vote carve (dense): needed when poses are self-
+                # calibrated rather than COLMAP-grade (see carve_tolerant)
+                vol = carve_tolerant(jnp.asarray(masks), jnp.asarray(cams),
+                                     jnp.asarray(valid), self.origin,
+                                     self.voxel_size, self.shape,
+                                     self.kill_tolerance)
             else:
-                from .carving_hier import carve_hierarchical as _carve_h
-            vol = _carve_h(masks, cams, valid, self.origin,
-                           self.voxel_size, self.shape)
+                # hierarchical carve: bit-identical, ~6x fewer gathers;
+                # the per-view-compacted variant wins once straddle sets
+                # are much smaller than the view count (large scans)
+                if len(masks) > 100:
+                    from .carving_pv import carve_perview as _carve_h
+                else:
+                    from .carving_hier import carve_hierarchical as _carve_h
+                vol = _carve_h(masks, cams, valid, self.origin,
+                               self.voxel_size, self.shape)
             vol = np.asarray(vol).astype(np.int32)
             if self._values is not None:
                 prev = self._values

@@ -45,7 +45,7 @@ THETA_NAMES = ("f", "dcx", "dcy", "dpan", "dtilt", "roll", "mx", "my", "mz")
 
 #: default CEM search widths per parameter; frozen parameters get 0.
 DEFAULT_STD = {"f": 0.25, "dcx": 20.0, "dcy": 20.0, "dpan": 3.0,
-               "dtilt": 1.5, "roll": 1.5, "mx": 10.0, "my": 10.0, "mz": 15.0}
+               "dtilt": 4.0, "roll": 1.5, "mx": 10.0, "my": 20.0, "mz": 15.0}
 
 DEFAULT_FREE = ("f", "dpan", "dtilt", "roll", "mx", "my")
 
@@ -183,6 +183,172 @@ def _diagnose(theta, poses, masks_flat, sil_uv, sil_valid, origin,
     return per_view, mean, alive
 
 
+@functools.partial(jax.jit, static_argnames=("shape", "Hl", "Wl", "n_steps"))
+def _diagnose_cams(cams_lo, masks_flat, sil_uv, sil_valid, origin,
+                   voxel_size, shape, Hl, Wl, n_steps):
+    alive = _alive_volume(cams_lo, masks_flat, origin, voxel_size,
+                          shape, Hl, Wl)
+    per_view, mean = _ray_coverage(cams_lo, alive, sil_uv, sil_valid,
+                                   origin, voxel_size, shape, n_steps)
+    return per_view, mean, alive
+
+
+def coverage_for_cameras(masks, cams, bbox, *, downsample=4, voxel_mm=2.0,
+                         n_sil=256, seed=0):
+    """Silhouette-coherence diagnostics for EXPLICIT packed cameras
+    (e.g. after per-view BA jitter, where no single theta exists).
+
+    Returns (per_view_coverage (V,), mean_coverage, hull_bbox_or_None) —
+    the per-view QC signal the TurntableCalibration task turns into
+    `pose_estimation` metadata (role of reference tasks/colmap.py:792-808).
+    """
+    masks = np.asarray(masks) != 0
+    V = masks.shape[0]
+    rng = np.random.default_rng(seed)
+    k = int(downsample)
+    vs = float(voxel_mm)
+    x0, x1 = bbox["x"]; y0, y1 = bbox["y"]; z0, z1 = bbox["z"]
+    origin_np = np.array([x0, y0, z0], np.float32)
+    masks_lo = _dilate1(_maxpool2d(masks, k))
+    Hl, Wl = masks_lo.shape[1:]
+    shape = (int((x1 - x0) / vs) + 1, int((y1 - y0) / vs) + 1,
+             int((z1 - z0) / vs) + 1)
+    steps = int(np.ceil(np.linalg.norm(shape) * 0.75))
+    sil_uv, sil_valid = _sample_sil(_maxpool2d(masks, k), n_sil, rng)
+    cams_lo = np.asarray(cams, np.float32).copy()
+    cams_lo[:, :4] /= k
+    per_view, mean, alive = _diagnose_cams(
+        jnp.asarray(cams_lo), jnp.asarray(masks_lo.reshape(V, -1)),
+        jnp.asarray(sil_uv), jnp.asarray(sil_valid),
+        jnp.asarray(origin_np), jnp.float32(vs),
+        shape=shape, Hl=Hl, Wl=Wl, n_steps=steps)
+    alive_np = np.asarray(alive)
+    idx = np.argwhere(alive_np)
+    hull_bbox = None
+    if len(idx):
+        lo = origin_np + idx.min(axis=0) * vs
+        hi = origin_np + (idx.max(axis=0) + 1) * vs
+        margin = 0.05 * (hi - lo)
+        lo, hi = lo - margin, hi + margin
+        hull_bbox = {"x": [float(lo[0]), float(hi[0])],
+                     "y": [float(lo[1]), float(hi[1])],
+                     "z": [float(lo[2]), float(hi[2])]}
+    return np.asarray(per_view), float(mean), hull_bbox
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "Hl", "Wl"))
+def _robust_alive(cams, masks_flat, origin, voxel_size, shape, Hl, Wl,
+                  tol_kills):
+    """Vote-based hull: a voxel survives if at most `tol_kills` views
+    carve it (and at least one sees it). Robust to a few misaligned
+    views — the AND-carve lets a single bad camera erase the plant."""
+
+    def body(carry, xs):
+        kills, seen = carry
+        mask_flat, cam = xs
+        _, _, pxi, pyi, in_img = _project(cam, origin, voxel_size,
+                                          shape, Wl, Hl)
+        lin = jnp.clip(pyi, 0, Hl - 1) * Wl + jnp.clip(pxi, 0, Wl - 1)
+        hit = jnp.take(mask_flat, lin.reshape(-1), axis=0).reshape(shape)
+        kills = kills + (in_img & ~hit).astype(jnp.int16)
+        seen = seen | (in_img & hit)
+        return (kills, seen), None
+
+    init = (jnp.zeros(shape, jnp.int16), jnp.zeros(shape, bool))
+    (kills, seen), _ = jax.lax.scan(body, init, (masks_flat, cams))
+    return (kills <= tol_kills) & seen
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "n_steps"))
+def _view_delta_coverage(pose_v, theta, jit_v, deltas, alive, sil_uv_v,
+                         sil_valid_v, origin, voxel_size, width, height,
+                         scale, shape, n_steps):
+    """Coverage of ONE view's silhouette rays against a fixed hull, for a
+    (G, 2) grid of (dpan, dtilt) adjustments on top of the view's
+    current jitter. Returns (G,) coverages."""
+
+    def one(delta):
+        pose = pose_v[None, :].at[0, 3].add(jit_v[0] + delta[0])
+        pose = pose.at[0, 4].add(jit_v[1] + delta[1])
+        cams = cnc_to_cameras(pose, theta, width, height, scale)
+        _, mean = _ray_coverage(cams, alive, sil_uv_v[None], sil_valid_v[None],
+                                origin, voxel_size, shape, n_steps)
+        return mean
+
+    return jax.vmap(one)(deltas)
+
+
+def refine_views_to_hull(masks, poses, theta, jitter, bbox, *,
+                         rounds=2, span=(1.5, 1.0), grid=(11, 7),
+                         tol_kills=2, downsample=4, voxel_mm=2.0,
+                         n_sil=256, seed=0):
+    """Per-view silhouette polish: align every view's pan/tilt to the
+    ROBUST visual hull (kill-tolerant vote carve), alternating hull
+    re-carves. This optimizes exactly what space carving needs — that
+    every view's silhouette is explained by the common hull — and mops
+    up residual per-view gimbal jitter that feature BA leaves on
+    texture-poor views. Returns (dpan_view, dtilt_view, per_view_cov).
+
+    No reference counterpart (the reference gets per-view poses from
+    COLMAP, colmap.py:977-1008); the alternation follows silhouette-
+    coherence practice (Hernandez et al., PAMI 2007, sec. V).
+    """
+    masks = np.asarray(masks) != 0
+    V = masks.shape[0]
+    poses = np.asarray(poses, np.float32)
+    theta = jnp.asarray(theta, jnp.float32)
+    dpan_v = np.array(jitter[0], np.float32) if jitter is not None \
+        else np.zeros(V, np.float32)
+    dtilt_v = np.array(jitter[1], np.float32) if jitter is not None \
+        else np.zeros(V, np.float32)
+    rng = np.random.default_rng(seed)
+
+    k = int(downsample)
+    vs = float(voxel_mm)
+    x0, x1 = bbox["x"]; y0, y1 = bbox["y"]; z0, z1 = bbox["z"]
+    origin_np = jnp.asarray([x0, y0, z0], jnp.float32)
+    masks_lo = _dilate1(_maxpool2d(masks, k))
+    Hl, Wl = masks_lo.shape[1:]
+    masks_flat = jnp.asarray(masks_lo.reshape(V, -1))
+    shape = (int((x1 - x0) / vs) + 1, int((y1 - y0) / vs) + 1,
+             int((z1 - z0) / vs) + 1)
+    steps = int(np.ceil(np.linalg.norm(shape) * 0.9))
+    sil_uv, sil_valid = _sample_sil(_maxpool2d(masks, k), n_sil, rng)
+    sil_uv = jnp.asarray(sil_uv)
+    sil_valid = jnp.asarray(sil_valid)
+    W_full = float(masks.shape[2])
+    H_full = float(masks.shape[1])
+
+    gp, gt = grid
+    dp = np.linspace(-span[0], span[0], gp, dtype=np.float32)
+    dt = np.linspace(-span[1], span[1], gt, dtype=np.float32)
+    deltas = jnp.asarray(np.stack(np.meshgrid(dp, dt, indexing="ij"),
+                                  axis=-1).reshape(-1, 2))
+
+    per_view = np.zeros(V, np.float32)
+    for _ in range(rounds):
+        poses_adj = poses.copy()
+        poses_adj[:, 3] += dpan_v
+        poses_adj[:, 4] += dtilt_v
+        cams = cnc_to_cameras(jnp.asarray(poses_adj), theta,
+                              W_full, H_full, 1.0 / k)
+        alive = _robust_alive(cams, masks_flat, origin_np, jnp.float32(vs),
+                              shape, Hl, Wl, jnp.int16(tol_kills))
+        for v in range(V):
+            cov = np.asarray(_view_delta_coverage(
+                jnp.asarray(poses[v]), theta,
+                jnp.asarray([dpan_v[v], dtilt_v[v]]), deltas, alive,
+                sil_uv[v], sil_valid[v], origin_np, jnp.float32(vs),
+                jnp.float32(W_full), jnp.float32(H_full),
+                jnp.float32(1.0 / k), shape=shape, n_steps=steps))
+            b = int(np.argmax(cov))
+            d = np.asarray(deltas[b])
+            dpan_v[v] += float(d[0])
+            dtilt_v[v] += float(d[1])
+            per_view[v] = float(cov[b])
+    return dpan_v, dtilt_v, per_view
+
+
 def _maxpool2d(m, k):
     V, H, W = m.shape
     Hp, Wp = -(-H // k) * k, -(-W // k) * k
@@ -196,6 +362,39 @@ def _dilate1(m):
     out[:, 1:] |= m[:, :-1]; out[:, :-1] |= m[:, 1:]
     out[:, :, 1:] |= m[:, :, :-1]; out[:, :, :-1] |= m[:, :, 1:]
     return out
+
+
+def estimate_tilt_offset(masks, poses, bbox, f, height):
+    """Closed-form vertical-basin initializer for the CEM seeds.
+
+    The CNC tilt can be off by tens of degrees of effective look-down
+    (gimbal arms also raise the optical center above the CNC z). The
+    dtilt that maps the MEAN silhouette-centroid row onto the working
+    volume's center is elevation(bbox center) + atan((v_bar - cy)/f) for
+    roll 0 (the image-offset term flips sign at roll 180, vanishes at
+    +-90). Returns (elev_dtilt_deg, image_offset_deg) so the seed loop
+    can combine them per roll quadrant. A wrong vertical basin makes the
+    coherence landscape flat at zero, which no local search recovers
+    from (observed on the reference's real_plant fixture: true
+    look-down ~13 deg)."""
+    masks = np.asarray(masks) != 0
+    rows = []
+    for m in masks:
+        ys, _ = np.nonzero(m)
+        if len(ys):
+            rows.append(ys.mean())
+    if not rows:
+        return 0.0
+    v_bar = float(np.mean(rows))
+    poses = np.asarray(poses, float)
+    cx_w = 0.5 * (bbox["x"][0] + bbox["x"][1])
+    cy_w = 0.5 * (bbox["y"][0] + bbox["y"][1])
+    cz_w = 0.5 * (bbox["z"][0] + bbox["z"][1])
+    d = float(np.mean(np.hypot(poses[:, 0] - cx_w, poses[:, 1] - cy_w)))
+    elev = np.arctan2(cz_w - float(np.mean(poses[:, 2])), d)
+    off = np.arctan((v_bar - height / 2.0) / f)
+    return (float(np.degrees(elev) - np.mean(poses[:, 4])),
+            float(np.degrees(off)))
 
 
 def _sample_sil(masks_lo, n_sil, rng):
@@ -272,12 +471,17 @@ def calibrate_turntable(masks, poses, bbox, *, f_init=1400.0,
 
         if rnd == 0:
             # seed generation: roll quadrant x focal spread (the roll
-            # ambiguity from the imager's stored-image rotation is 4-way)
+            # ambiguity from the imager's stored-image rotation is 4-way),
+            # each seed vertically centered by the mask-centroid rule
             seeds = []
             for roll0 in (0.0, 90.0, 180.0, 270.0):
                 for fs in (0.7, 1.0, 1.4):
                     th = mean.copy()
                     th[0] = f_init * fs
+                    elev_dt, img_off = estimate_tilt_offset(
+                        masks, poses, bbox, th[0], H)
+                    sign = {0.0: 1.0, 180.0: -1.0}.get(roll0, 0.0)
+                    th[4] = elev_dt + sign * img_off
                     th[5] = roll0
                     seeds.append(th)
             scores = np.asarray(_score_batch(

@@ -48,13 +48,18 @@ def _box3(x):
     return out / 9.0
 
 
-@functools.partial(jax.jit, static_argnames=("k", "border"))
+@functools.partial(jax.jit, static_argnames=("k", "border", "bands"))
 def harris_keypoints(gray, mask, k: int = 512, border: int = 16,
-                     kappa: float = 0.06):
+                     kappa: float = 0.06, bands: int = 6):
     """Top-k Harris corners per view, restricted to `mask`.
 
     gray: (V, H, W) float32; mask: (V, H, W) bool. Returns (uv (V, k, 2)
     float [x, y], score (V, k)); invalid slots have score <= 0.
+
+    Selection is STRATIFIED over `bands` horizontal image bands (top-k/bands
+    per band): plants are texture-rich at the rosette and nearly bare along
+    the stem — a global top-k would cluster there and leave the bundle
+    adjustment without vertical leverage (tilt/height degeneracy).
     """
     V, H, W = gray.shape
     ix = (jnp.roll(gray, -1, axis=-1) - jnp.roll(gray, 1, axis=-1)) * 0.5
@@ -76,7 +81,21 @@ def harris_keypoints(gray, mask, k: int = 512, border: int = 16,
           & (xidx >= border) & (xidx < W - border))
     r = jnp.where(ok, r, -jnp.inf)
 
-    score, lin = jax.lax.top_k(r.reshape(V, H * W), k)
+    bands = max(1, min(bands, k))
+    kb = k // bands
+    Hb = -(-H // bands)
+    rp = jnp.pad(r, ((0, 0), (0, bands * Hb - H), (0, 0)),
+                 constant_values=-jnp.inf)
+    rb = rp.reshape(V, bands, Hb * W)
+    score_b, lin_b = jax.lax.top_k(rb, kb)              # (V, bands, kb)
+    lin = (lin_b + (jnp.arange(bands) * Hb * W)[None, :, None]
+           ).reshape(V, bands * kb)
+    score = score_b.reshape(V, bands * kb)
+    if bands * kb < k:                                   # pad to k slots
+        pad = k - bands * kb
+        lin = jnp.pad(lin, ((0, 0), (0, pad)))
+        score = jnp.pad(score, ((0, 0), (0, pad)),
+                        constant_values=-jnp.inf)
     uv = jnp.stack([(lin % W).astype(jnp.float32),
                     (lin // W).astype(jnp.float32)], axis=-1)
     return uv, jnp.where(jnp.isfinite(score), score, 0.0)
@@ -131,163 +150,336 @@ def match_mutual(desc_a, desc_b, score_a, score_b, ratio: float = 0.95):
 # ----------------------------------------------------------------------
 
 
-def _cameras_from_params(p, poses, width, height):
-    """Global theta (9) + per-view (dpan_v, dtilt_v) -> packed (V, 16).
+#: BA parameter vector layout: [theta(9), k1, dpan_view(V), dtilt_view(V)]
+K1_IDX = 9
+N_GLOBAL = 10
 
-    p: (9 + 2V,). Per-view deltas ride on the pose table (pan/tilt
-    columns), so cnc_to_cameras stays the single projection model.
+
+def _cameras_from_params(p, poses, width, height):
+    """Global theta (9) + k1 + per-view (dpan_v, dtilt_v) -> packed
+    (V, 16) cameras (k1 is applied separately in the projection).
+
+    Per-view deltas ride on the pose table (pan/tilt columns), so
+    cnc_to_cameras stays the single extrinsic model.
     """
     V = poses.shape[0]
     theta = p[:9]
-    dpan_v = p[9:9 + V]
-    dtilt_v = p[9 + V:9 + 2 * V]
+    dpan_v = p[N_GLOBAL:N_GLOBAL + V]
+    dtilt_v = p[N_GLOBAL + V:N_GLOBAL + 2 * V]
     poses_adj = poses.at[:, 3].add(dpan_v).at[:, 4].add(dtilt_v)
     return cnc_to_cameras(poses_adj, theta, width, height)
 
 
-def _project_points(cams, X):
-    """cams (M, 16) x points (M, 3) -> pixel (M, 2)."""
+def _project_points(cams, X, k1=0.0):
+    """cams (M, 16) x points (M, 3) -> pixel (M, 2), with SIMPLE_RADIAL
+    distortion x_d = x (1 + k1 r^2) (COLMAP model the reference fits for
+    this camera class, camera.py:14-138)."""
     R = cams[:, 4:13].reshape(-1, 3, 3)
     t = cams[:, 13:16]
     q = jnp.einsum("mij,mj->mi", R, X) + t
     z = jnp.maximum(q[:, 2], 1e-6)
-    return jnp.stack([q[:, 0] / z * cams[:, 0] + cams[:, 2],
-                      q[:, 1] / z * cams[:, 1] + cams[:, 3]], axis=1)
+    x = q[:, 0] / z
+    y = q[:, 1] / z
+    d = 1.0 + k1 * (x * x + y * y)
+    return jnp.stack([x * d * cams[:, 0] + cams[:, 2],
+                      y * d * cams[:, 1] + cams[:, 3]], axis=1)
+
+
+def _rays(cams, uv, k1=0.0):
+    """(C, d̂) world rays through pixels uv for packed cams rows.
+
+    Pixels are UNdistorted first (two fixed-point iterations of the
+    SIMPLE_RADIAL inverse — ample for |k1| r^2 << 1)."""
+    R = cams[:, 4:13].reshape(-1, 3, 3)
+    t = cams[:, 13:16]
+    C = -jnp.einsum("mji,mj->mi", R, t)
+    xd = (uv[:, 0] - cams[:, 2]) / cams[:, 0]
+    yd = (uv[:, 1] - cams[:, 3]) / cams[:, 1]
+    x, y = xd, yd
+    for _ in range(2):
+        s = 1.0 + k1 * (x * x + y * y)
+        x, y = xd / s, yd / s
+    d_cam = jnp.stack([x, y, jnp.ones_like(x)], axis=1)
+    d = jnp.einsum("mji,mj->mi", R, d_cam)
+    return C, d / jnp.linalg.norm(d, axis=1, keepdims=True)
 
 
 def _residuals(p, poses, va, vb, ua, ub, width, height):
-    """Per-match reprojection residuals (M, 4).
+    """Pairwise reprojection residuals (M, 4) via midpoint triangulation.
 
-    For match m between views (va, vb) at pixels (ua, ub): back-project
-    both rays from the (fixed) camera centers, triangulate the midpoint,
-    reproject into both views. Fully differentiable in p.
+    Used only for the cheap geometric PRE-GATE of raw matches — the BA
+    itself uses multi-view tracks (_track_residuals): pairwise
+    triangulation is self-consistent under a focal/tilt/height gauge
+    family, so it cannot anchor the global calibration alone.
     """
     cams = _cameras_from_params(p, poses, width, height)
+    k1 = p[K1_IDX]
     ca, cb = cams[va], cams[vb]
-
-    def ray(c, u):
-        R = c[:, 4:13].reshape(-1, 3, 3)
-        t = c[:, 13:16]
-        C = -jnp.einsum("mji,mj->mi", R, t)
-        d_cam = jnp.stack([(u[:, 0] - c[:, 2]) / c[:, 0],
-                           (u[:, 1] - c[:, 3]) / c[:, 1],
-                           jnp.ones_like(u[:, 0])], axis=1)
-        d = jnp.einsum("mji,mj->mi", R, d_cam)
-        return C, d
-
-    Ca, da = ray(ca, ua)
-    Cb, db = ray(cb, ub)
-    # midpoint of the common perpendicular of the two rays
+    Ca, da = _rays(ca, ua, k1)
+    Cb, db = _rays(cb, ub, k1)
     w = Cb - Ca
-    aa = jnp.sum(da * da, axis=1)
-    bb = jnp.sum(db * db, axis=1)
     ab = jnp.sum(da * db, axis=1)
     wa = jnp.sum(w * da, axis=1)
     wb = jnp.sum(w * db, axis=1)
-    den = aa * bb - ab * ab
+    den = 1.0 - ab * ab
     den = jnp.where(jnp.abs(den) < 1e-9, 1e-9, den)
-    s = (wa * bb - wb * ab) / den
-    t = (wa * ab - wb * aa) / den
+    s = (wa - wb * ab) / den
+    t = (wa * ab - wb) / den
     X = 0.5 * (Ca + s[:, None] * da + Cb + t[:, None] * db)
-
-    ra = _project_points(ca, X) - ua
-    rb = _project_points(cb, X) - ub
+    ra = _project_points(ca, X, k1) - ua
+    rb = _project_points(cb, X, k1) - ub
     return jnp.concatenate([ra, rb], axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("n_free",))
-def _gn_step(p, poses, va, vb, ua, ub, w_match, width, height,
-             free_idx, reg, lam, n_free: int):
+def build_tracks(va, vb, ka, kb, n_views, k):
+    """Union-find pairwise keypoint matches into multi-view tracks.
+
+    Nodes are (view, keypoint-slot); every match joins two nodes. Tracks
+    touching the same view twice (merge conflicts) are dropped. Returns
+    (obs_track (M,), obs_node (M,)) — observation lists for every track
+    with >= 2 observations, ordered by track id.
+    """
+    parent = np.arange(n_views * k, dtype=np.int64)
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    na = va.astype(np.int64) * k + ka
+    nb = vb.astype(np.int64) * k + kb
+    for x, y in zip(na, nb):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[rx] = ry
+
+    nodes = np.unique(np.concatenate([na, nb]))
+    roots = np.array([find(x) for x in nodes])
+    order = np.argsort(roots, kind="stable")
+    nodes, roots = nodes[order], roots[order]
+    _, track_of, counts = np.unique(roots, return_inverse=True,
+                                    return_counts=True)
+
+    # drop tracks that observe one view twice (ambiguous merges)
+    views = nodes // k
+    ok_track = np.ones(len(counts), bool)
+    seen = {}
+    for n, t, v in zip(nodes, track_of, views):
+        if (t, v) in seen:
+            ok_track[t] = False
+        seen[(t, v)] = True
+    keep = ok_track[track_of] & (counts[track_of] >= 2)
+    nodes, track_of = nodes[keep], track_of[keep]
+    _, track_of = np.unique(track_of, return_inverse=True)  # re-densify
+    return track_of.astype(np.int32), nodes
+
+
+def _track_residuals(p, poses, obs_track, obs_view, obs_uv, width, height,
+                     n_tracks: int):
+    """Reprojection residuals (M_obs, 2) with multi-view track structure.
+
+    Each track's 3D point is the closed-form least-squares intersection
+    of ALL its observation rays (min sum of squared ray distances:
+    X = [sum(I - dd^T)]^-1 [sum (I - dd^T) C]), then reprojected into
+    every observing view. Because the same point must agree across the
+    whole arc of views, the focal/tilt/height gauge of pairwise
+    triangulation is broken. Fully differentiable in p.
+    """
+    cams = _cameras_from_params(p, poses, width, height)
+    k1 = p[K1_IDX]
+    co = cams[obs_view]
+    C, d = _rays(co, obs_uv, k1)
+    eye = jnp.eye(3, dtype=jnp.float32)
+    P = eye[None] - d[:, :, None] * d[:, None, :]        # (M, 3, 3)
+    Pb = jnp.einsum("mij,mj->mi", P, C)
+    A = jax.ops.segment_sum(P, obs_track, n_tracks)
+    b = jax.ops.segment_sum(Pb, obs_track, n_tracks)
+    A = A + 1e-6 * eye[None]
+    X = jnp.linalg.solve(A, b[..., None])[..., 0]        # (T, 3)
+    return _project_points(co, X[obs_track], k1) - obs_uv
+
+
+@functools.partial(jax.jit, static_argnames=("n_free", "n_tracks"))
+def _gn_step(p, p_prior, poses, obs_track, obs_view, obs_uv, w_obs,
+             width, height, free_idx, reg, lam, n_free: int, n_tracks: int):
     """One Huber-IRLS Levenberg-Marquardt step on the free parameters.
 
     Diagonal (Marquardt) scaling handles the wildly mixed parameter
-    units (pixels / degrees / millimetres) without hand-tuned scales."""
+    units (pixels / degrees / millimetres) without hand-tuned scales.
+    `reg` is a TIKHONOV PRIOR weight toward `p_prior` (not mere step
+    damping): along data-flat valleys (e.g. focal/height/tilt families
+    on feature sets with little vertical spread) it keeps physically
+    absurd solutions — metre-scale mount offsets — out of reach."""
 
     def r_free(pf):
-        return _residuals(p.at[free_idx].set(pf), poses, va, vb, ua, ub,
-                          width, height)
+        return _track_residuals(p.at[free_idx].set(pf), poses, obs_track,
+                                obs_view, obs_uv, width, height, n_tracks)
 
     pf = p[free_idx]
-    r = r_free(pf)                                       # (M, 4)
+    r = r_free(pf)                                       # (M, 2)
     err = jnp.linalg.norm(r, axis=1)
     delta = 2.0                                          # Huber width (px)
     hub = jnp.where(err <= delta, 1.0, delta / jnp.maximum(err, 1e-9))
-    wgt = (hub * w_match)[:, None]
+    wgt = (hub * w_obs)[:, None]
 
-    J = jax.jacfwd(r_free)(pf)                           # (M, 4, n_free)
+    J = jax.jacfwd(r_free)(pf)                           # (M, 2, n_free)
     Jw = (J * wgt[..., None]).reshape(-1, n_free)
     JTJ = Jw.T @ J.reshape(-1, n_free)
     JTr = Jw.T @ (r * wgt).reshape(-1)
+    JTJ = JTJ + jnp.diag(reg)
+    JTr = JTr + reg * (pf - p_prior[free_idx])
     diag = jnp.maximum(jnp.diag(JTJ), 1e-8)
-    A = JTJ + jnp.diag(lam * diag + reg)
+    A = JTJ + jnp.diag(lam * diag)
     dp = jnp.linalg.solve(A, -JTr)
-    rms = jnp.sqrt(jnp.sum((r * wgt) ** 2) / jnp.maximum(jnp.sum(wgt) * 4, 1.0))
+    rms = jnp.sqrt(jnp.sum((r * wgt) ** 2) / jnp.maximum(jnp.sum(wgt) * 2, 1.0))
     return p.at[free_idx].add(dp), rms, err
 
 
 def refine_turntable(matches, poses, theta0, width, height, *,
-                     free=("f", "dpan", "dtilt", "roll", "mx", "my"),
-                     per_view=True, iters=12, jitter_reg=1e2,
-                     gate_px=(30.0, 8.0, 3.0)):
+                     free=("f", "dpan", "dtilt", "roll", "mx", "my", "k1"),
+                     per_view=True, iters=12, jitter_reg=10.0,
+                     gate_px=(60.0, 12.0, 4.0), jitter_from_stage=0,
+                     min_track_views=3, jitter0=None, k10=0.0):
     """Bundle-adjust the turntable calibration against feature matches.
 
-    matches: dict or tuple (va, vb, ua, ub) — view indices (M,) int32 and
-    pixel coords (M, 2) float32 of matched keypoints.
-    theta0: (9,) initial calibration (e.g. from
+    matches: dict with view indices va/vb (M,) int32, pixel coords ua/ub
+    (M, 2) float32 and keypoint slot indices ka/kb (M,) — as returned by
+    build_matches. Pairwise matches are merged into MULTI-VIEW TRACKS
+    and each track is triangulated from all its rays; tracks shorter
+    than `min_track_views` are dropped (pairwise-only constraints carry
+    a focal/tilt/height gauge and would let the solver settle in a
+    wrong basin). theta0: (9,) initial calibration (e.g. from
     selfcal.calibrate_turntable). Returns dict with theta, per-view
-    (dpan_v, dtilt_v), inlier stats, rms.
+    (dpan_v, dtilt_v) CNC-jitter estimates, inlier stats, rms.
 
-    The outlier gate tightens over `gate_px` stages; matches outside the
-    current gate get weight 0 (re-admitted if a later iterate explains
-    them — weights are recomputed from scratch each stage).
+    Staging: global parameters are fit first; the 2V per-view jitter
+    deltas only join at the final (tightest) outlier gate — enabling
+    them early lets them absorb global basin error.
     """
     from .selfcal import THETA_NAMES
 
-    if isinstance(matches, dict):
-        va, vb, ua, ub = (matches[k] for k in ("va", "vb", "ua", "ub"))
-    else:
-        va, vb, ua, ub = matches
-    va = jnp.asarray(va, jnp.int32)
-    vb = jnp.asarray(vb, jnp.int32)
-    ua = jnp.asarray(ua, jnp.float32)
-    ub = jnp.asarray(ub, jnp.float32)
+    va, vb = np.asarray(matches["va"]), np.asarray(matches["vb"])
+    ua, ub = np.asarray(matches["ua"]), np.asarray(matches["ub"])
+    ka, kb = np.asarray(matches["ka"]), np.asarray(matches["kb"])
     poses_j = jnp.asarray(poses, jnp.float32)
     V = poses_j.shape[0]
+    K = int(max(ka.max(initial=0), kb.max(initial=0))) + 1
 
+    obs_track, obs_node = build_tracks(va, vb, ka, kb, V, K)
+    uv_table = np.zeros((V * K, 2), np.float32)
+    uv_table[va.astype(np.int64) * K + ka] = ua
+    uv_table[vb.astype(np.int64) * K + kb] = ub
+    # keep tracks spanning enough views to anchor the calibration
+    n_obs = np.bincount(obs_track, minlength=obs_track.max() + 1 if
+                        len(obs_track) else 1)
+    keep = n_obs[obs_track] >= min_track_views
+    if keep.sum() < 100 and len(obs_track):
+        keep = n_obs[obs_track] >= 2        # fall back on sparse scenes
+    obs_track, obs_node = obs_track[keep], obs_node[keep]
+    _, obs_track = np.unique(obs_track, return_inverse=True)
+    n_tracks = int(obs_track.max()) + 1 if len(obs_track) else 0
+    if n_tracks == 0:
+        raise ValueError("no multi-view tracks to bundle-adjust")
+    obs_view = (obs_node // K).astype(np.int32)
+    obs_uv = uv_table[obs_node]
+
+    obs_track_j = jnp.asarray(obs_track.astype(np.int32))
+    obs_view_j = jnp.asarray(obs_view)
+    obs_uv_j = jnp.asarray(obs_uv)
+
+    jit2 = (np.concatenate(jitter0).astype(np.float32) if jitter0 is not None
+            else np.zeros(2 * V, np.float32))
     p = jnp.concatenate([jnp.asarray(theta0, jnp.float32),
-                         jnp.zeros(2 * V, jnp.float32)])
-    free_list = [THETA_NAMES.index(n) for n in free]
-    reg_list = [1e-6] * len(free_list)
-    if per_view:
-        free_list += list(range(9, 9 + 2 * V))
-        # per-view deltas are regularized toward 0: they absorb CNC
-        # jitter, while the global dpan/dtilt carry the mount calibration
-        reg_list += [jitter_reg] * (2 * V)
-    free_idx = jnp.asarray(free_list, jnp.int32)
-    reg = jnp.asarray(reg_list, jnp.float32)
-    n_free = len(free_list)
+                         jnp.asarray([k10], jnp.float32),
+                         jnp.asarray(jit2)])
+    p_prior = p
+    names = list(THETA_NAMES) + ["k1"]
+    glob = [names.index(n) for n in free]
+    jit_idx = list(range(N_GLOBAL, N_GLOBAL + 2 * V))
+    # prior weights (px^2 per unit^2): focal free; angles and mount
+    # offsets softly anchored to the silhouette-stage solution; k1 in
+    # normalized-coordinate units (typical |k1| < 0.3)
+    prior_by_name = {"f": 1e-8, "dcx": 1e-3, "dcy": 1e-3, "dpan": 1.0,
+                     "dtilt": 1.0, "roll": 1.0, "mx": 1.0, "my": 1.0,
+                     "mz": 1.0, "k1": 1e3}
 
-    w_match = jnp.ones(va.shape[0], jnp.float32)
+    def _stage_params(with_jitter):
+        free_list = list(glob)
+        reg_list = [prior_by_name[names[i]] for i in glob]
+        if with_jitter:
+            free_list += jit_idx
+            # per-view deltas are anchored to 0: they absorb CNC
+            # jitter; the global dpan/dtilt carry the mount calibration
+            reg_list += [jitter_reg] * (2 * V)
+        return (jnp.asarray(free_list, jnp.int32),
+                jnp.asarray(reg_list, jnp.float32), len(free_list))
+
+    w_obs = jnp.ones(len(obs_track), jnp.float32)
     rms = np.inf
     for stage, gate in enumerate(gate_px):
+        free_idx, reg, n_free = _stage_params(
+            per_view and stage >= jitter_from_stage)
         lam = 1e-1
         for _ in range(iters):
-            p, rms, err = _gn_step(p, poses_j, va, vb, ua, ub, w_match,
+            p, rms, err = _gn_step(p, p_prior, poses_j, obs_track_j,
+                                   obs_view_j, obs_uv_j, w_obs,
                                    jnp.float32(width), jnp.float32(height),
-                                   free_idx, reg, jnp.float32(lam), n_free)
+                                   free_idx, reg, jnp.float32(lam), n_free,
+                                   n_tracks=n_tracks)
             lam = max(lam * 0.6, 1e-4)
-        w_match = (err <= gate).astype(jnp.float32)
+        w_obs = (err <= gate).astype(jnp.float32)
 
     theta = np.asarray(p[:9])
     return {
-        "theta": {n: float(theta[i]) for i, n in enumerate(THETA_NAMES)},
+        "theta": {**{n: float(theta[i]) for i, n in enumerate(THETA_NAMES)},
+                  "k1": float(p[K1_IDX])},
         "theta_raw": theta,
-        "dpan_view": np.asarray(p[9:9 + V]),
-        "dtilt_view": np.asarray(p[9 + V:9 + 2 * V]),
+        "k1": float(p[K1_IDX]),
+        "dpan_view": np.asarray(p[N_GLOBAL:N_GLOBAL + V]),
+        "dtilt_view": np.asarray(p[N_GLOBAL + V:N_GLOBAL + 2 * V]),
         "rms_px": float(rms),
-        "n_matches": int(va.shape[0]),
-        "n_inliers": int(np.asarray(w_match).sum()),
+        "n_matches": int(len(va)),
+        "n_tracks": n_tracks,
+        "n_obs": int(len(obs_track)),
+        "n_inliers": int(np.asarray(w_obs).sum()),
     }
+
+
+def iterative_refine(gray, kp_masks, theta0, poses, width, height, *,
+                     rounds=2, k=512, strides=(1, 2, 4, 7, 12),
+                     downsample=1,
+                     schedule=((80.0, (60.0, 12.0, 4.0)),
+                               (15.0, (8.0, 4.0, 2.5)))):
+    """Alternate matching and bundle adjustment (SfM-style refinement).
+
+    Round 1 gates raw matches with the rough silhouette calibration
+    (wide gate — CNC pan jitter alone is worth tens of pixels); each
+    later round RE-GATES the cached raw matches with the refined
+    cameras at a tighter gate, growing the inlier set while shedding
+    outliers, then re-runs the BA warm-started from the previous
+    solution. Detection/matching runs once (cached). Returns the last
+    refine_turntable result.
+    """
+    cache = {}
+    theta, jitter, ba = np.asarray(theta0, np.float32), None, None
+    k1 = 0.0
+    for rnd in range(min(rounds, len(schedule))):
+        mgate, bgates = schedule[rnd]
+        matches = build_matches(gray, kp_masks, theta, poses, width, height,
+                                k=k, strides=strides, gate_px=mgate,
+                                downsample=downsample, jitter0=jitter,
+                                k10=k1, _cache=cache)
+        if len(matches["va"]) < 50:
+            break
+        ba = refine_turntable(matches, poses, theta, width, height,
+                              gate_px=bgates, jitter0=jitter, k10=k1)
+        theta = ba["theta_raw"]
+        jitter = (ba["dpan_view"], ba["dtilt_view"])
+        k1 = ba["k1"]
+    return ba
 
 
 def cameras_from_refined(res, poses, width, height):
@@ -306,52 +498,101 @@ def cameras_from_refined(res, poses, width, height):
 
 
 def build_matches(gray, masks, theta0, poses, width, height, *,
-                  k=512, strides=(1, 2, 4, 7), gate_px=40.0,
-                  ratio=0.95):
+                  k=512, strides=(1, 2, 4, 7), gate_px=80.0,
+                  ratio=0.95, chunk=12, downsample=1, jitter0=None,
+                  k10=0.0, _cache=None):
     """Detect, describe and match keypoints across turntable strides.
 
-    gray: (V, H, W) float32 images (full or working resolution — pass
-    matching width/height for the intrinsics scale). masks restrict
-    keypoints to the plant. Matches are pre-gated with the initial
-    calibration `theta0` (reprojection through midpoint triangulation
-    must land within `gate_px`). Returns (va, vb, ua, ub) numpy arrays.
+    gray: (V, H, W) float32 images at FULL resolution (width/height);
+    masks restrict keypoints to the plant. Detection optionally runs at
+    1/`downsample` resolution (CPU-test budget control) — returned match
+    coordinates are always full-resolution pixels. Views are processed
+    in `chunk`-sized batches to bound device memory. Matches are
+    pre-gated with the initial calibration `theta0` (+ optional per-view
+    `jitter0` = (dpan_view, dtilt_view) from a previous BA round —
+    iterative re-matching with a tighter gate is how the inlier set
+    grows once the first refinement lands): reprojection through
+    midpoint triangulation must land within `gate_px`. Returns a dict
+    of match columns (va, vb, ua, ub, ka, kb). Pass a dict as `_cache`
+    to reuse detection/matching across gating rounds.
     """
+    if _cache is not None and "raw" in _cache:
+        out = dict(_cache["raw"])
+        V = np.asarray(poses).shape[0]
+        return _gate_matches(out, theta0, jitter0, poses, V, width, height,
+                             gate_px, k10)
+    gray = np.asarray(gray, np.float32)
+    masks = np.asarray(masks) != 0
+    ds = int(downsample)
+    if ds > 1:
+        V0, H0, W0 = gray.shape
+        Hc, Wc = (H0 // ds) * ds, (W0 // ds) * ds
+        gray = gray[:, :Hc, :Wc].reshape(V0, Hc // ds, ds, Wc // ds, ds)
+        gray = gray.mean(axis=(2, 4))
+        masks = masks[:, :Hc, :Wc].reshape(V0, Hc // ds, ds, Wc // ds, ds)
+        masks = masks.max(axis=(2, 4))
+
     V = gray.shape[0]
-    uv, score = harris_keypoints(jnp.asarray(gray), jnp.asarray(masks), k=k)
-    desc = patch_descriptors(jnp.asarray(gray), uv)
+    uv_l, score_l, desc_l = [], [], []
+    for c0 in range(0, V, chunk):
+        g = jnp.asarray(gray[c0:c0 + chunk])
+        m = jnp.asarray(masks[c0:c0 + chunk])
+        uv_c, score_c = harris_keypoints(g, m, k=k)
+        desc_l.append(np.asarray(patch_descriptors(g, uv_c)))
+        uv_l.append(np.asarray(uv_c))
+        score_l.append(np.asarray(score_c))
+    uv = np.concatenate(uv_l)
+    score = jnp.asarray(np.concatenate(score_l))
+    desc = jnp.asarray(np.concatenate(desc_l))
+    if ds > 1:
+        uv = (uv + 0.5) * ds - 0.5
+    uv = jnp.asarray(uv)
 
-    p0 = jnp.concatenate([jnp.asarray(theta0, jnp.float32),
-                          jnp.zeros(2 * V, jnp.float32)])
-    poses_j = jnp.asarray(poses, jnp.float32)
-
-    va_all, vb_all, ua_all, ub_all = [], [], [], []
+    uv_np = np.asarray(uv)
+    cols = {n: [] for n in ("va", "vb", "ua", "ub", "ka", "kb")}
     for s in strides:
         for a in range(V):
             b = (a + s) % V
             if b == a:
                 continue
-            idx_b, valid = match_mutual(desc[a], desc[b], score[a], score[b],
-                                        ratio=ratio)
+            idx_b, valid = match_mutual(desc[a], desc[b], score[a],
+                                        score[b], ratio)
             valid_np = np.asarray(valid)
             if not valid_np.any():
                 continue
             ka = np.nonzero(valid_np)[0]
             kb = np.asarray(idx_b)[ka]
-            ua = np.asarray(uv[a])[ka]
-            ub = np.asarray(uv[b])[kb]
-            va = np.full(len(ka), a, np.int32)
-            vb = np.full(len(ka), b, np.int32)
-            r = np.asarray(_residuals(
-                p0, poses_j, jnp.asarray(va), jnp.asarray(vb),
-                jnp.asarray(ua, jnp.float32), jnp.asarray(ub, jnp.float32),
-                jnp.float32(width), jnp.float32(height)))
-            keep = np.linalg.norm(r, axis=1) <= gate_px
-            va_all.append(va[keep]); vb_all.append(vb[keep])
-            ua_all.append(ua[keep]); ub_all.append(ub[keep])
+            cols["va"].append(np.full(len(ka), a, np.int32))
+            cols["vb"].append(np.full(len(ka), b, np.int32))
+            cols["ua"].append(uv_np[a][ka])
+            cols["ub"].append(uv_np[b][kb])
+            cols["ka"].append(ka.astype(np.int32))
+            cols["kb"].append(kb.astype(np.int32))
 
-    if not va_all:
-        return (np.zeros(0, np.int32), np.zeros(0, np.int32),
-                np.zeros((0, 2), np.float32), np.zeros((0, 2), np.float32))
-    return (np.concatenate(va_all), np.concatenate(vb_all),
-            np.concatenate(ua_all).astype(np.float32),
-            np.concatenate(ub_all).astype(np.float32))
+    if not cols["va"]:
+        return {n: (np.zeros((0, 2), np.float32) if n in ("ua", "ub")
+                    else np.zeros(0, np.int32)) for n in cols}
+    out = {n: np.concatenate(v) for n, v in cols.items()}
+    out["ua"] = out["ua"].astype(np.float32)
+    out["ub"] = out["ub"].astype(np.float32)
+    if _cache is not None:
+        _cache["raw"] = dict(out)
+    return _gate_matches(out, theta0, jitter0, poses, V, width, height,
+                         gate_px, k10)
+
+
+def _gate_matches(out, theta0, jitter0, poses, V, width, height, gate_px,
+                  k10=0.0):
+    """Geometric pre-gate in ONE batched call (per-pair calls would
+    re-trace for every distinct match count)."""
+    jit2 = (np.concatenate(jitter0).astype(np.float32) if jitter0 is not None
+            else np.zeros(2 * V, np.float32))
+    p0 = jnp.concatenate([jnp.asarray(theta0, jnp.float32),
+                          jnp.asarray([k10], jnp.float32),
+                          jnp.asarray(jit2)])
+    r = np.asarray(_residuals(
+        p0, jnp.asarray(poses, jnp.float32), jnp.asarray(out["va"]),
+        jnp.asarray(out["vb"]), jnp.asarray(out["ua"]),
+        jnp.asarray(out["ub"]), jnp.float32(width), jnp.float32(height)))
+    keep = np.linalg.norm(r, axis=1) <= gate_px
+    return {n: v[keep] for n, v in out.items()}

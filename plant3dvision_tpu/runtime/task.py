@@ -251,6 +251,17 @@ class FileByFileTask(RomiTask):
 
     query = Parameter(default={})
     n_io_threads = Parameter(default=8, significant=False)
+    #: optional extra dependency that must run first because it WRITES
+    #: metadata onto the upstream files this task copies through (e.g.
+    #: Colmap/TurntableCalibration exporting per-image 'colmap_camera' —
+    #: the reference gets this ordering implicitly from luigi's DAG)
+    upstream_pose = Parameter(default="")
+
+    def requires(self):
+        req = [self._upstream()]
+        if self.upstream_pose:
+            req.append(self.ctx.get_task(str(self.upstream_pose)))
+        return req
 
     def f(self, fin, outfs):
         """Process one input File; return the output File (or None to skip)."""

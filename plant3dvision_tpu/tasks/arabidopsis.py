@@ -41,6 +41,9 @@ class AnglesAndInternodes(RomiTask):
     """
 
     upstream_task = Parameter(default="TreeGraph")
+    #: "directions" (the reference's current algorithm) or "legacy"
+    #: (arabidopsis.py:566-683 plane-normal method)
+    method = Parameter(default="directions")
     min_fruit_size = Parameter(default=6.0)
     node_sampling_dist = Parameter(default=10.0)
     organ_type = Parameter(default="fruit")
@@ -61,6 +64,11 @@ class AnglesAndInternodes(RomiTask):
 
     def measures_from_tree_graph(self):
         t = io.read_graph(self.input_file())
+        if str(self.method) == "legacy":
+            from ..traits.angles import compute_angles_and_internodes_legacy
+            return compute_angles_and_internodes_legacy(
+                t, n_nodes_fruit=max(int(self.node_sampling_dist) // 2, 3),
+                n_nodes_stem=max(int(self.node_sampling_dist) // 2, 3))
         fruit_dirs, stem_dirs, bp_coords, fruit_pts = \
             compute_stem_and_fruit_directions(
                 t, max_node_dist=float(self.node_sampling_dist),

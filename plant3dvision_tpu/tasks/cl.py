@@ -25,13 +25,20 @@ class Voxels(RomiTask):
     invert = Parameter(default=False)
     labels = Parameter(default=[])
     bounding_box = Parameter(default=None)
+    #: carve vote tolerance (views allowed to dissent per voxel) — keep 0
+    #: with COLMAP-grade poses; >0 for self-calibrated turntable poses
+    #: (ops/carving.carve_tolerant)
+    kill_tolerance = Parameter(default=0)
 
     # RomiTask glue: upstream_task unused, requirements are mask (+ colmap)
     upstream_task = Parameter(default="ImagesFilesetExists", significant=False)
 
     def requires(self):
         req = {"masks": self.ctx.get_task(self.upstream_mask)}
-        if self.upstream_colmap == "Colmap":
+        # any camera-producing upstream (Colmap, TurntableCalibration, ...)
+        # is a real dependency; DummyTask/marker upstreams are not
+        if self.upstream_colmap not in (None, "", "DummyTask",
+                                        "ImagesFilesetExists"):
             req["colmap"] = self.ctx.get_task(self.upstream_colmap)
         return req
 
@@ -40,7 +47,7 @@ class Voxels(RomiTask):
         scan = self.ctx.scan
         if bbox is None:
             bbox = scan.get_metadata("bounding_box")
-        if bbox is None and self.upstream_colmap == "Colmap":
+        if bbox is None and "colmap" in (self.input() or {}):
             colmap_fs = self.input()["colmap"].get(create=False)
             if colmap_fs is not None:
                 bbox = colmap_fs.get_metadata("bounding_box")
@@ -85,7 +92,8 @@ class Voxels(RomiTask):
 
         bp = Backprojection(
             shape=[nx, ny, nz], origin=[x_min, y_min, z_min], voxel_size=vs,
-            type=str(self.type), labels=labels, log=bool(self.log))
+            type=str(self.type), labels=labels, log=bool(self.log),
+            kill_tolerance=int(self.kill_tolerance))
         vol = bp.process_fileset(masks_files, str(self.camera_metadata),
                                  bool(self.invert))
 

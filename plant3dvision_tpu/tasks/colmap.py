@@ -31,6 +31,246 @@ def get_cnc_poses(scan, images_fileset=None):
     return poses
 
 
+def _rotmat_to_qvec(R):
+    """COLMAP (w, x, y, z) quaternion from a world->cam rotation matrix."""
+    from scipy.spatial.transform import Rotation
+    q = Rotation.from_matrix(np.asarray(R, float)).as_quat()  # x, y, z, w
+    return [float(q[3]), float(q[0]), float(q[1]), float(q[2])]
+
+
+class TurntableCalibration(RomiTask):
+    """COLMAP-free camera recovery for turntable scans (fills the Colmap
+    task's role — reference tasks/colmap.py:436-834 — without the external
+    SfM binary, using the CNC ``approximate_pose`` metadata).
+
+    Two stages, both TPU programs:
+
+    1. silhouette-coherence CEM (ops/selfcal.py) recovers the roll
+       quadrant, pan/tilt zero offsets and mount offsets;
+    2. feature bundle adjustment (ops/sfmlite.py) pins the focal length
+       and per-view CNC jitter to sub-pixel reprojection.
+
+    Outputs mirror the Colmap task: per-image ``colmap_camera`` metadata,
+    cameras/images JSON files, a ``bounding_box`` fileset metadata (the
+    carved hull's extent +5%, the reference's auto-bbox rule
+    colmap.py:1244-1266), per-image ``pose_estimation`` QC from per-view
+    silhouette coverage, and the blind-angle retry (tasks/colmap.py:810-834).
+    """
+
+    upstream_task = Parameter(default="ImagesFilesetExists")
+    # calibration-internal silhouettes: excess_green (chromatic) rejects
+    # gray-green backdrop reflections that a plain green-channel threshold
+    # passes (observed on the reference real_plant fixture), while keeping
+    # the thin pedicels a higher linear threshold would erode
+    query = Parameter(default={"channel": "rgb"})
+    mask_type = Parameter(default="excess_green")
+    mask_params = Parameter(default=[0.0, 1.0, 0.0])
+    mask_threshold = Parameter(default=0.1)
+    bounding_box = Parameter(default=None)
+    f_init = Parameter(default=1400.0)
+    downsample = Parameter(default=8)
+    voxel_mm = Parameter(default=4.0)
+    cem_pop = Parameter(default=48)
+    cem_iters = Parameter(default=10)
+    cem_rounds = Parameter(default=2)
+    feature_ba = Parameter(default=True)
+    feature_downsample = Parameter(default=1)
+    n_keypoints = Parameter(default=512)
+    strides = Parameter(default=[1, 2, 4, 7, 12])
+    min_matches = Parameter(default=500)
+    polish_rounds = Parameter(default=3)
+    coverage_threshold = Parameter(default=0.2)
+    coverage_rel = Parameter(default=0.5)
+    max_blind_angle = Parameter(default=20.0)
+    seed = Parameter(default=0)
+
+    retry_count = 10
+
+    def _resolve_bounding_box(self):
+        bbox = self.bounding_box
+        scan = self.ctx.scan
+        if bbox is None:
+            bbox = scan.get_metadata("bounding_box")
+        if bbox is None:
+            images_fs = scan.get_fileset("images")
+            if images_fs is not None:
+                bbox = (images_fs.get_metadata("bounding_box")
+                        or images_fs.get_metadata("workspace"))
+        if bbox is None:
+            raise ValueError("TurntableCalibration needs a bounding box "
+                             "(param, scan metadata, or images workspace)")
+        return {k: [float(v[0]), float(v[1])] for k, v in bbox.items()}
+
+    def run(self):
+        import json as _json
+        from concurrent.futures import ThreadPoolExecutor
+
+        import jax.numpy as jnp_mod
+        from ..ops import selfcal, sfmlite
+
+        def jnp_arr(x):
+            return jnp_mod.asarray(np.asarray(x, np.float32))
+        from ..ops.masks import compute_mask_numpy
+
+        images_fs = self.input()[0].get(create=False) if isinstance(
+            self.input(), (list, tuple)) else self.input().get(create=False)
+        files = sorted(images_fs.get_files(query=self.query or None),
+                       key=lambda f: f.id)
+        if not files:
+            raise ValueError("TurntableCalibration: no images matched")
+
+        poses = []
+        for f in files:
+            p = f.get_metadata("pose") or f.get_metadata("approximate_pose")
+            if p is None or len(p) < 5:
+                raise ValueError(
+                    f"image {f.id}: needs a 5-vector (approximate_)pose "
+                    "[X, Y, Z, pan, tilt] for turntable calibration")
+            poses.append(p[:5])
+        poses = np.asarray(poses, np.float32)
+
+        coefs = self.mask_params
+        if isinstance(coefs, str):
+            coefs = _json.loads(coefs)
+        use_ba = bool(self.feature_ba)
+
+        def _load(f):
+            img = io.read_image(f)
+            m = compute_mask_numpy(
+                img, filter_type=str(self.mask_type),
+                coefs=tuple(map(float, coefs)),
+                threshold=float(self.mask_threshold), binarize=True) > 0.5
+            g = None
+            if use_ba:
+                g = (img.mean(axis=2) if img.ndim == 3 else img)
+                g = g.astype(np.float32) / 255.0
+            return m, g
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            loaded = list(ex.map(_load, files))
+        masks = np.stack([m for m, _ in loaded])
+        V, H, W = masks.shape
+        bbox = self._resolve_bounding_box()
+        logger.info(f"TurntableCalibration: {V} views at {W}x{H}")
+
+        res = selfcal.calibrate_turntable(
+            masks, poses, bbox, f_init=float(self.f_init),
+            downsample=int(self.downsample), voxel_mm=float(self.voxel_mm),
+            pop=int(self.cem_pop), iters=int(self.cem_iters),
+            rounds=int(self.cem_rounds), seed=int(self.seed))
+        logger.info(f"silhouette stage: coherence {res['coherence']:.3f} "
+                    f"theta {res['theta']}")
+
+        ba = None
+        if use_ba:
+            gray = np.stack([g for _, g in loaded])
+            from ..ops.masks import _dilate_np
+            kp_masks = np.stack([_dilate_np(m, 6) for m in masks])
+            ba = sfmlite.iterative_refine(
+                gray, kp_masks, res["theta_raw"], poses, W, H,
+                k=int(self.n_keypoints),
+                strides=tuple(int(s) for s in self.strides),
+                downsample=int(self.feature_downsample))
+            if ba is not None:
+                logger.info(
+                    f"feature BA: rms {ba['rms_px']:.2f} px, "
+                    f"{ba['n_inliers']}/{ba['n_obs']} inlier obs over "
+                    f"{ba['n_tracks']} tracks, theta {ba['theta']}")
+            else:
+                logger.warning("feature BA skipped (too few matches); "
+                               "keeping silhouette cameras")
+
+        theta_raw = ba["theta_raw"] if ba is not None else res["theta_raw"]
+        jitter = ((ba["dpan_view"], ba["dtilt_view"])
+                  if ba is not None else None)
+        k1 = float(ba["k1"]) if ba is not None else 0.0
+
+        # per-view silhouette polish against the robust hull: mops up
+        # residual gimbal jitter the feature BA leaves on texture-poor
+        # views (directly optimizes what space carving needs)
+        if int(self.polish_rounds) > 0:
+            dpan_v, dtilt_v, _ = selfcal.refine_views_to_hull(
+                masks, poses, theta_raw, jitter, bbox,
+                rounds=int(self.polish_rounds), seed=int(self.seed))
+            jitter = (dpan_v, dtilt_v)
+
+        poses_adj = poses.copy()
+        if jitter is not None:
+            poses_adj[:, 3] += jitter[0]
+            poses_adj[:, 4] += jitter[1]
+        cams = np.asarray(selfcal.cnc_to_cameras(
+            jnp_arr(poses_adj), jnp_arr(theta_raw), float(W), float(H)))
+        theta = {**{n: float(theta_raw[i]) for i, n in
+                    enumerate(selfcal.THETA_NAMES)}, "k1": k1}
+
+        per_view, coherence, hull_bbox = selfcal.coverage_for_cameras(
+            masks, cams, bbox, seed=int(self.seed))
+
+        # ---- export per-image camera metadata (colmap.py:305-372) ----
+        images_dict, statuses = {}, []
+        for i, f in enumerate(files):
+            fx, fy, cx, cy = (float(c) for c in cams[i, :4])
+            R = cams[i, 4:13].reshape(3, 3)
+            t = cams[i, 13:16]
+            f.set_metadata("colmap_camera", {
+                "camera_model": {
+                    "model": "OPENCV",
+                    "params": [fx, fy, cx, cy, k1, 0.0, 0.0, 0.0],
+                    "width": W, "height": H,
+                },
+                "rotmat": R.tolist(),
+                "tvec": t.tolist(),
+            })
+            gate = max(float(self.coverage_threshold),
+                       float(self.coverage_rel) * float(np.median(per_view)))
+            ok = float(per_view[i]) >= gate
+            f.set_metadata("pose_estimation", "correct" if ok else "incorrect")
+            statuses.append(ok)
+            images_dict[str(i + 1)] = {
+                "id": i + 1, "name": f.filename or f.id, "camera_id": 1,
+                "qvec": _rotmat_to_qvec(R), "tvec": t.tolist(),
+                "rotmat": R.tolist(),
+            }
+
+        outfs = self.output().get()
+        fx, fy, cx, cy = (float(c) for c in cams[0, :4])
+        cameras_dict = {"1": {"id": 1, "model": "OPENCV", "width": W,
+                              "height": H,
+                              "params": [fx, fy, cx, cy, k1, 0.0, 0.0, 0.0]}}
+        io.write_json(outfs.get_file(COLMAP_CAMERAS_ID, create=True),
+                      cameras_dict)
+        io.write_json(outfs.get_file(COLMAP_IMAGES_ID, create=True),
+                      images_dict)
+        io.write_json(outfs.get_file("calibration", create=True), {
+            "theta": theta,
+            "coherence": coherence,
+            "per_view_coverage": [float(c) for c in per_view],
+            "silhouette_stage": {"theta": res["theta"],
+                                 "coherence": res["coherence"]},
+            "feature_ba": None if ba is None else {
+                "theta": ba["theta"], "rms_px": ba["rms_px"],
+                "n_matches": ba["n_matches"], "n_inliers": ba["n_inliers"],
+                "n_tracks": ba["n_tracks"]},
+            "dpan_view": None if jitter is None else jitter[0].tolist(),
+            "dtilt_view": None if jitter is None else jitter[1].tolist(),
+        })
+        outfs.set_metadata("bounding_box", hull_bbox or bbox)
+
+        # blind-angle failure detection (reference tasks/colmap.py:810-834)
+        if statuses and len(statuses) > 2:
+            run_len = max_run = 0
+            for ok in statuses + statuses:
+                run_len = 0 if ok else run_len + 1
+                max_run = max(max_run, run_len)
+            max_run = min(max_run, len(statuses))
+            blind_angle = 360.0 * max_run / len(statuses)
+            if blind_angle > float(self.max_blind_angle):
+                raise RetryableTaskError(
+                    f"Blind angle {blind_angle:.1f} deg exceeds "
+                    f"{self.max_blind_angle} deg ({max_run}/{len(statuses)} "
+                    "consecutive low-coverage poses)")
+
+
 class Colmap(RomiTask):
     upstream_task = Parameter(default="ImagesFilesetExists")
     matcher = Parameter(default="exhaustive")

@@ -216,6 +216,8 @@ class Segmentation2D(Masks):
         batch = np.stack(imgs)
 
         probs = segmentation_inference(model, params, batch)  # (N, C, H, W)
+        if probs.dtype == np.uint8:   # quantized transfer (unet.py)
+            probs = probs.astype(np.float32) / 255.0
 
         outfs = self.output().get()
         for i, fin in enumerate(metas):

@@ -230,6 +230,85 @@ def tree_to_treex(tree, root_id=None):
     return TT
 
 
+def fit_plane(points):
+    """(centroid, v1, v2): least-squares plane basis by SVD
+    (reference arabidopsis.py:145-162)."""
+    points = np.asarray(points, float)
+    c = points.mean(axis=0)
+    _, _, vt = np.linalg.svd(points - c)
+    return c, vt[0], vt[1]
+
+
+def compute_angles_and_internodes_legacy(T, n_nodes_fruit=5, n_nodes_stem=5):
+    """The reference's LEGACY angle algorithm
+    (arabidopsis.py:566-683, superseded upstream by the directions
+    method but kept as a capability and cross-check): per branching
+    point, fit a plane through the first fruit nodes + surrounding stem
+    nodes, project the fruit mean direction into it, and take the angle
+    between successive (fruit x stem) plane normals with the determinant
+    sign complement. Returns {"angles" (degrees), "internodes",
+    "fruit_points"}.
+    """
+    from math import degrees
+
+    from .tree import get_fruit, get_nodes_by_label
+
+    unordered_main_stem = get_nodes_by_label(T, "stem")
+    unordered_branching_points = get_nodes_by_label(T, "node")
+    branching_points = sorted(unordered_branching_points,
+                              key=lambda n: T.nodes[n]["fruit_id"])
+    main_stem = sorted(unordered_main_stem,
+                       key=lambda n: T.nodes[n]["main_stem_id"])
+
+    angles, internodes, all_fruit_points, node_info = [], [], [], []
+    for i in range(len(branching_points) - 1):
+        node_point = np.array(T.nodes[branching_points[i]]["position"])
+        node_next_point = np.array(
+            T.nodes[branching_points[i + 1]]["position"])
+        node_fruit_points = [np.array(T.nodes[n]["position"])
+                             for n in get_fruit(T, i)]
+        if len(node_fruit_points) <= 1:
+            continue
+        vertices_fruit = node_fruit_points[:n_nodes_fruit]
+        idx = main_stem.index(branching_points[i])
+        stem_ids = main_stem[max(idx - n_nodes_stem // 2, 0):
+                             idx + n_nodes_stem // 2]
+        vertices_stem = [T.nodes[s]["position"] for s in stem_ids]
+        _, v1, v2 = fit_plane(np.vstack([vertices_fruit, vertices_stem]))
+
+        fruit_points = np.vstack(node_fruit_points)
+        all_fruit_points.append(fruit_points.tolist())
+        new_v1 = fruit_points.mean(axis=0) - node_point
+        new_v1 = new_v1.dot(v1) * v1 + new_v1.dot(v2) * v2
+        new_v1 /= np.linalg.norm(new_v1)
+        v1, v2 = new_v1, v2 - v2.dot(new_v1) * new_v1
+        if v2.dot(node_next_point - node_point) < 0:
+            v2 = -v2
+        node_info.append({"node_point": node_point,
+                          "fruit_direction": v1, "stem_direction": v2})
+
+    for i in range(1, len(node_info)):
+        n1 = np.cross(node_info[i - 1]["fruit_direction"],
+                      node_info[i - 1]["stem_direction"])
+        n2 = np.cross(node_info[i]["fruit_direction"],
+                      node_info[i]["stem_direction"])
+        v1 = node_info[i - 1]["fruit_direction"]
+        v2 = node_info[i]["fruit_direction"]
+        v3 = node_info[i]["node_point"] - node_info[i - 1]["node_point"]
+        angle = np.arccos(np.clip(np.dot(n1 / np.linalg.norm(n1),
+                                         n2 / np.linalg.norm(n2)), -1, 1))
+        if np.linalg.det([v1, v2, v3]) < 0:
+            angle = 2 * np.pi - angle
+        angles.append(angle)
+        internodes.append(float(np.linalg.norm(v3)))
+
+    if angles and np.median(angles) > np.pi:
+        angles = (2 * np.pi - np.array(angles)).tolist()
+    return {"angles": [degrees(a) for a in angles],
+            "internodes": internodes,
+            "fruit_points": all_fruit_points}
+
+
 def compute_angles_and_internodes_from_directions(fruit_dirs, stem_dirs, bp_coords):
     """Angles between successive organ planes, complemented by basis sign;
     output angles in DEGREES, internodes in input units."""

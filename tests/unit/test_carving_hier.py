@@ -112,3 +112,37 @@ def test_single_view_carve():
     # a single view can only carve a cone; everything toward the camera
     # within the silhouette cone stays alive
     assert (d == 1).sum() > 0 and (d == -1).sum() > 0
+
+
+def test_carve_tolerant_votes():
+    """carve_tolerant == carve at max_kills 0; a single poisoned view is
+    out-voted at max_kills 1 (ops/carving.carve_tolerant)."""
+    import jax.numpy as jnp
+    from plant3dvision_tpu.ops.carving import carve, carve_tolerant
+
+    from .test_ops import _synthetic_views
+
+    masks, cams = _synthetic_views(n_views=10, H=96, W=96, radius=7.0,
+                                   dist_cam=40.0)
+    valid = np.ones(10, bool)
+    origin = np.array([-16.0, -16.0, -16.0], np.float32)
+    shape = (33, 33, 33)
+
+    strict = np.asarray(carve(jnp.asarray(masks), jnp.asarray(cams), valid,
+                              origin, 1.0, shape))
+    tol0 = np.asarray(carve_tolerant(jnp.asarray(masks), jnp.asarray(cams),
+                                     valid, origin, 1.0, shape, 0))
+    np.testing.assert_array_equal(strict, tol0)
+
+    # poison one view (empty mask kills everything it sees)
+    bad = masks.copy()
+    bad[3] = 0
+    tol1 = np.asarray(carve_tolerant(jnp.asarray(bad), jnp.asarray(cams),
+                                     valid, origin, 1.0, shape, 1))
+    strict_bad = np.asarray(carve(jnp.asarray(bad), jnp.asarray(cams), valid,
+                                  origin, 1.0, shape))
+    assert (strict_bad == 1).sum() == 0          # strict carve wiped out
+    # the vote recovers at least the true hull (plus voxels whose only
+    # dissenter is now out-voted — tolerance fattens, never starves)
+    assert ((tol1 == 1) & (strict == 1)).sum() == (strict == 1).sum()
+    assert (tol1 == 1).sum() <= 2.0 * (strict == 1).sum()

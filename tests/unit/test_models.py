@@ -75,5 +75,11 @@ def test_segmentation_inference_layout():
                                 n_classes=4)
     imgs = (np.random.rand(3, 40, 48, 3) * 255).astype(np.uint8)  # non-mult-32
     probs = segmentation_inference(model, params, imgs, batch_size=2)
-    assert probs.shape == (3, 4, 40, 48)
-    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-4)
+    # default output is quantized uint8/255 (transfer-bound links)
+    assert probs.shape == (3, 4, 40, 48) and probs.dtype == np.uint8
+    np.testing.assert_allclose(probs.astype(np.float32).sum(axis=1) / 255.0,
+                               1.0, atol=2.0 / 255.0)
+    probs_f = segmentation_inference(model, params, imgs, batch_size=2,
+                                     output_dtype="float32")
+    assert probs_f.dtype == np.float32
+    np.testing.assert_allclose(probs_f.sum(axis=1), 1.0, atol=1e-4)

@@ -51,21 +51,27 @@ def test_refine_turntable_recovers_focal_and_jitter():
         return np.stack([q[:, 0] / q[:, 2] * fx + cx,
                          q[:, 1] / q[:, 2] * fy + cy], axis=1)
 
-    va, vb, ua, ub = [], [], [], []
+    # observations with per-view noise, consistent per (view, point) so
+    # pairwise matches merge into true multi-view tracks
+    noisy = {v: project(v, pts) + 0.3 * rng.standard_normal((len(pts), 2))
+             for v in range(V)}
+    cols = {n: [] for n in ("va", "vb", "ua", "ub", "ka", "kb")}
     for s in (1, 2, 4, 7):
         for a in range(V):
             b = (a + s) % V
-            pa, pb = project(a, pts), project(b, pts)
+            pa, pb = noisy[a], noisy[b]
             vis = ((pa > 8) & (pa < [W - 8, H - 8])).all(1) \
                 & ((pb > 8) & (pb < [W - 8, H - 8])).all(1)
             idx = np.nonzero(vis)[0]
-            va.append(np.full(len(idx), a, np.int32))
-            vb.append(np.full(len(idx), b, np.int32))
-            ua.append(pa[idx] + 0.3 * rng.standard_normal((len(idx), 2)))
-            ub.append(pb[idx] + 0.3 * rng.standard_normal((len(idx), 2)))
-    matches = (np.concatenate(va), np.concatenate(vb),
-               np.concatenate(ua).astype(np.float32),
-               np.concatenate(ub).astype(np.float32))
+            cols["va"].append(np.full(len(idx), a, np.int32))
+            cols["vb"].append(np.full(len(idx), b, np.int32))
+            cols["ua"].append(pa[idx])
+            cols["ub"].append(pb[idx])
+            cols["ka"].append(idx.astype(np.int32))
+            cols["kb"].append(idx.astype(np.int32))
+    matches = {n: np.concatenate(v) for n, v in cols.items()}
+    matches["ua"] = matches["ua"].astype(np.float32)
+    matches["ub"] = matches["ub"].astype(np.float32)
 
     theta0 = np.zeros(9, np.float32)
     theta0[0] = 300.0          # ~15% focal error from the silhouette stage

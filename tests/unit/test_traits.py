@@ -108,3 +108,23 @@ def test_cpd_refines_noisy_skeleton():
     d_before = np.abs(np.linalg.norm(noisy[:, :2], axis=1) - 1).mean()
     d_after = np.abs(np.linalg.norm(refined[:, :2], axis=1) - 1).mean()
     assert d_after < d_before * 0.5, (d_before, d_after)
+
+
+def test_legacy_angles_on_gt_skeleton():
+    """The reference's legacy plane-normal algorithm
+    (arabidopsis.py:566-683) recovers the divergence angle on an exact
+    skeleton — a cross-check against the directions method."""
+    from plant3dvision_tpu.traits.angles import (
+        compute_angles_and_internodes_legacy)
+
+    gt = 137.5
+    plant = SyntheticPlant(n_fruits=10, divergence_deg=gt, internode=6.0)
+    pts, lines = exact_skeleton(plant)
+    T = compute_tree_graph(pts, lines, stem_axis=2, stem_axis_inverted=True)
+    seq = compute_angles_and_internodes_legacy(T, n_nodes_fruit=5,
+                                               n_nodes_stem=5)
+    assert len(seq["angles"]) >= 8, seq["angles"]
+    err = angle_error(seq["angles"], np.full(len(seq["angles"]), gt))
+    assert err < 6.0, f"legacy angle error {err} deg, {seq['angles']}"
+    np.testing.assert_allclose(
+        seq["internodes"], np.full(len(seq["internodes"]), 6.0), atol=0.5)
