@@ -1,0 +1,155 @@
+"""End-to-end pipeline benchmark + accuracy report (driver-visible artifact).
+
+Runs the FULL geometric pipeline (FusedCarving images->volume, PointCloud,
+CurveSkeleton, RefineSkeleton, TreeGraph, AnglesAndInternodes) on the
+north-star workload — a 300-image turntable scan at 1 mm voxels — on the
+current JAX backend (real TPU when run outside the test harness), scores
+the divergence angles against the generator's ground truth, and persists
+everything to E2E_REPORT.json so the headline numbers are reproducible
+artifacts rather than commit-message lore.
+
+Optionally (--reference-data) also runs the parity pipelines on the
+reference's shipped fixtures (virtual_plant exact-camera route and the
+COLMAP-free real_plant route) and records the DTW scores against their
+ground truths — the same protocol as reference
+tests/integration/test_anglesandinternodes.py.
+
+Usage: python bench_e2e.py [--views 300] [--voxel 1.0] [--reference-data]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import numpy as np
+
+
+def run_northstar(n_views=300, voxel=1.0, width=1440, height=1080):
+    from plant3dvision_tpu.fsdb.testing import TemporaryDB
+    from plant3dvision_tpu.runtime import RunContext, run_task
+    from plant3dvision_tpu.runtime.config import load_toml
+    from plant3dvision_tpu.synth import SyntheticPlant, generate_scan
+
+    cfg = load_toml(Path(__file__).parent / "configs" / "geom_pipe_fast.toml")
+    cfg["FusedCarving"]["voxel_size"] = voxel
+
+    plant = SyntheticPlant(n_fruits=15, divergence_deg=137.5, internode=6.0,
+                           stem_radius=2.0, fruit_radius=1.5,
+                           fruit_length=35.0, first_node=30.0)
+    with TemporaryDB() as db:
+        t0 = time.perf_counter()
+        generate_scan(db, "northstar", n_views=n_views, width=width,
+                      height=height, f=1400.0, plant=plant, render_step=0.5)
+        gen_s = time.perf_counter() - t0
+
+        ctx = RunContext(db, "northstar", cfg)
+        t0 = time.perf_counter()
+        report = run_task(ctx, "AnglesAndInternodes", report=False)
+        e2e_s = time.perf_counter() - t0
+
+        fs = ctx.scan.get_fileset(report["AnglesAndInternodes"]["fileset"])
+        out = json.loads(fs.get_file("AnglesAndInternodes").read_raw())
+        angles = np.asarray(out["angles"], float)
+        if angles.max() < 7:
+            angles = np.degrees(angles)
+        gt = np.degrees(plant.gt_angles)
+        n = min(len(angles), len(gt))
+        err = float(np.abs(angles[:n] - gt[:n]).mean()) if n else None
+        task_times = {k: round(v.get("seconds", 0.0), 3)
+                      for k, v in report.items() if isinstance(v, dict)}
+        return {
+            "n_views": n_views, "voxel_mm": voxel,
+            "image_size": [width, height],
+            "scan_generation_s": round(gen_s, 2),
+            "e2e_seconds": round(e2e_s, 3),
+            "task_seconds": task_times,
+            "n_angles": len(angles),
+            "mean_angle_error_deg": None if err is None else round(err, 3),
+        }
+
+
+def run_reference_fixtures():
+    from plant3dvision_tpu import fixtures
+    from plant3dvision_tpu.fsdb.testing import TemporaryDB
+    from plant3dvision_tpu.runtime import RunContext, run_task
+    from plant3dvision_tpu.runtime.config import load_toml
+
+    results = {}
+    if not fixtures.has_reference_testdata("virtual_plant"):
+        return {"skipped": "reference testdata not available"}
+
+    def _dtw(ctx, report):
+        efs = ctx.scan.get_fileset(
+            report["AnglesAndInternodesEvaluation"]["fileset"])
+        ev = json.loads(efs.get_files()[0].read_raw())
+        fs = ctx.scan.get_fileset(report["AnglesAndInternodes"]["fileset"])
+        out = json.loads(fs.get_file("AnglesAndInternodes").read_raw())
+        return {"n_angles": len(out["angles"]),
+                "dtw_normalized_cost": round(ev["normalized_cost"], 4),
+                "mean_angle_error_deg": round(ev["mean_angle_error"], 2),
+                "mean_internode_error": round(ev["mean_internode_error"], 3)}
+
+    repo = Path(__file__).parent
+    with TemporaryDB() as db:
+        fixtures.load_reference_scan(db, "virtual_plant")
+        cfg = load_toml(repo / "configs" / "geom_pipe_virtual.toml")
+        ctx = RunContext(db, "virtual_plant", cfg)
+        t0 = time.perf_counter()
+        report = run_task(ctx, "AnglesAndInternodesEvaluation", report=False)
+        results["virtual_plant"] = {
+            **_dtw(ctx, report), "seconds": round(time.perf_counter() - t0, 1)}
+
+    with TemporaryDB() as db:
+        fixtures.load_reference_scan(db, "real_plant")
+        cfg = load_toml(repo / "configs" / "geom_pipe_real_selfcal.toml")
+        # the COLMAP-free route at reduced voxel budget + vote carving
+        cfg["Voxels"].update({"voxel_size": 1.0, "kill_tolerance": 3})
+        cfg["Masks"]["dilation"] = 3
+        cfg["PointCloud"]["level_set_value"] = 2.0
+        cfg["CurveSkeleton"]["bin_size"] = 6.0
+        cfg["AnglesAndInternodes"].update({"node_sampling_dist": 20.0,
+                                           "min_fruit_size": 10.0})
+        cfg["Undistorted"] = {"upstream_task": "ImagesFilesetExists"}
+        cfg["Masks"]["upstream_task"] = "ImagesFilesetExists"
+        cfg["Masks"]["upstream_pose"] = "TurntableCalibration"
+        ctx = RunContext(db, "real_plant", cfg)
+        t0 = time.perf_counter()
+        report = run_task(ctx, "AnglesAndInternodesEvaluation", report=False)
+        results["real_plant_colmap_free"] = {
+            **_dtw(ctx, report), "seconds": round(time.perf_counter() - t0, 1)}
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--views", type=int, default=300)
+    ap.add_argument("--voxel", type=float, default=1.0)
+    ap.add_argument("--reference-data", action="store_true",
+                    help="also run the reference-fixture parity pipelines")
+    ap.add_argument("--out", default="E2E_REPORT.json")
+    args = ap.parse_args()
+
+    import jax
+    report = {"backend": jax.devices()[0].platform,
+              "device": str(jax.devices()[0])}
+    report["northstar"] = run_northstar(args.views, args.voxel)
+    if args.reference_data:
+        report["reference_fixtures"] = run_reference_fixtures()
+
+    Path(args.out).write_text(json.dumps(report, indent=2) + "\n")
+    ns = report["northstar"]
+    print(json.dumps({
+        "metric": "geom_pipeline_e2e",
+        "value": ns["e2e_seconds"],
+        "unit": "s",
+        "vs_baseline": round(10.0 / max(ns["e2e_seconds"], 1e-9), 2),
+        "mean_angle_error_deg": ns["mean_angle_error_deg"],
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -78,3 +78,80 @@ def test_virtual_plant_geom_pipeline_dtw(virtual_db):
     assert ev["mean_angle_error"] < 30.0, ev["mean_angle_error"]
     # organ-count sanity: within ~25% of the 41 true organs
     assert 30 <= len(out["angles"]) <= 55
+
+
+def test_real_plant_colmap_free_pipeline_dtw():
+    """Full pipeline on the reference's REAL 60-photograph fixture with
+    NO external SfM: TurntableCalibration (silhouette CEM + feature BA +
+    hull polish, ops/selfcal.py + ops/sfmlite.py) recovers the cameras
+    from the CNC approximate_pose metadata alone, carving runs with a
+    vote tolerance matched to the self-calibrated pose accuracy, and the
+    angle sequence is DTW-scored against the manually measured
+    measures.json (29 organs) — the reference's accuracy protocol
+    (tests/integration/test_anglesandinternodes.py + tasks/evaluation.py:600-733;
+    the reference needs the COLMAP binary for this dataset)."""
+    if not fixtures.has_reference_testdata("real_plant"):
+        pytest.skip("reference testdata not available")
+
+    cfg = {
+        "TurntableCalibration": {
+            "query": {"channel": "rgb"}, "f_init": 1400.0,
+            # CPU test budget (quality measured equal to full budget)
+            "cem_pop": 32, "cem_iters": 8,
+            "feature_downsample": 2, "strides": [1, 2, 4, 7],
+            "polish_rounds": 2,
+        },
+        "Masks": {"upstream_task": "ImagesFilesetExists",
+                  "upstream_pose": "TurntableCalibration",
+                  "query": {"channel": "rgb"},
+                  "type": "linear", "parameters": [0, 1, 0],
+                  "threshold": 0.2, "dilation": 3},
+        "Voxels": {"upstream_mask": "Masks",
+                   "upstream_colmap": "TurntableCalibration",
+                   "camera_metadata": "colmap_camera",
+                   "voxel_size": 1.0, "type": "carving",
+                   "kill_tolerance": 3,
+                   "bounding_box": {"x": [300, 450], "y": [300, 450],
+                                    "z": [-175, 105]}},
+        "PointCloud": {"upstream_task": "Voxels", "level_set_value": 2.0},
+        "CurveSkeleton": {"upstream_task": "PointCloud", "bin_size": 6.0,
+                          "k": 10, "stem_axis_inverted": False},
+        "RefineSkeleton": {"upstream_task": "CurveSkeleton",
+                           "upstream_pcd": "PointCloud",
+                           "alpha": 5.0, "beta": 5.0, "knn_mst": True},
+        "TreeGraph": {"upstream_task": "RefineSkeleton", "z_axis": 2,
+                      "stem_axis_inverted": False},
+        "AnglesAndInternodes": {"upstream_task": "TreeGraph",
+                                "organ_type": "fruit",
+                                "node_sampling_dist": 20.0,
+                                "min_fruit_size": 10.0},
+        "AnglesAndInternodesEvaluation": {
+            "upstream_task": "AnglesAndInternodes",
+            "ground_truth": "ImagesFilesetExists",
+            "free_ends": 0.4, "free_ends_eps": 1e-2},
+    }
+    with TemporaryDB() as db:
+        fixtures.load_reference_scan(db, "real_plant")
+        ctx = RunContext(db, "real_plant", cfg)
+        report = run_task(ctx, "AnglesAndInternodesEvaluation", report=False)
+
+        fs = ctx.scan.get_fileset(report["AnglesAndInternodes"]["fileset"])
+        out = json.loads(fs.get_file("AnglesAndInternodes").read_raw())
+        # the reference's own oracle (test_anglesandinternodes.py:38-39)
+        assert len(out["angles"]) > 10, out["angles"]
+
+        efs = ctx.scan.get_fileset(
+            report["AnglesAndInternodesEvaluation"]["fileset"])
+        ev = json.loads(efs.get_files()[0].read_raw())
+        # guards at measured quality (ncost 0.128 / 19.9 deg mean angle
+        # error / 24 organs of the 29 measured) with regression headroom
+        assert ev["normalized_cost"] < 0.25, ev
+        assert ev["mean_angle_error"] < 35.0, ev
+        assert 14 <= len(out["angles"]) <= 40
+
+        # calibration QC artifacts exist and are sane
+        cfs = ctx.scan.get_fileset(
+            report["TurntableCalibration"]["fileset"])
+        cal = json.loads(cfs.get_file("calibration").read_raw())
+        assert cal["coherence"] > 0.4, cal["coherence"]
+        assert cal["feature_ba"] is None or cal["feature_ba"]["rms_px"] < 3.0
