@@ -60,7 +60,10 @@ def load_model(file):
 
 def convert_torch_state_dict(state_dict, param_template):
     """Best-effort torch->flax weight mapping for matching architectures:
-    matches tensors by shape signature in traversal order. Conv kernels are
+    matches tensors by shape signature in traversal order (torch state
+    dicts preserve module-definition order), with a KIND gate so that
+    same-shaped bias vectors never steal norm scales ('bias' names only
+    map to flax 'bias' leaves and vice versa). Conv kernels are
     transposed OIHW->HWIO. Returns a params pytree shaped like
     `param_template`."""
     from flax.traverse_util import flatten_dict, unflatten_dict
@@ -72,9 +75,13 @@ def convert_torch_state_dict(state_dict, param_template):
     out = {}
     for k, tmpl in flat.items():
         shape = tuple(np.asarray(tmpl).shape)
+        want_bias = k.rsplit("/", 1)[-1] == "bias"
         found = None
         for i, (tk, tv) in enumerate(torch_items):
             if i in used:
+                continue
+            is_bias = tk.rsplit(".", 1)[-1] == "bias"
+            if tv.ndim <= 1 and is_bias != want_bias:
                 continue
             tshape = tuple(tv.shape)
             if tshape == shape:

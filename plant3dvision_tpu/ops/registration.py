@@ -29,8 +29,12 @@ def _cpd_loop(X, Y, alpha, beta, w, max_iterations, tolerance):
 
     def cond(state):
         it, sigma2, prev_sigma2, W = state
-        return jnp.logical_and(it < max_iterations,
-                               jnp.abs(prev_sigma2 - sigma2) > tolerance)
+        # the sigma2 floor doubles as a hard stop: one more E-step at a
+        # collapsed sigma2 zeroes every responsibility and snaps W back
+        # to 0 (observed on TPU where the contraction overshoots)
+        return jnp.logical_and(
+            jnp.logical_and(it < max_iterations, sigma2 > 1e-8),
+            jnp.abs(prev_sigma2 - sigma2) > tolerance)
 
     def body(state):
         it, sigma2, _, W = state
@@ -38,19 +42,24 @@ def _cpd_loop(X, Y, alpha, beta, w, max_iterations, tolerance):
         d2 = jnp.sum((X[None, :, :] - TY[:, None, :]) ** 2, axis=-1)  # (M, N)
         num = jnp.exp(-d2 / (2.0 * sigma2))
         c = (2.0 * jnp.pi * sigma2) ** (D / 2.0) * (w / (1.0 - w)) * (M / N)
-        den = jnp.sum(num, axis=0, keepdims=True) + c
+        # + tiny: a target point far from every node underflows the whole
+        # num column to 0 in f32 — den=0 made P=0/0=NaN (hit on TPU once
+        # sigma2 contracts); with the floor such orphans get P=0 instead
+        den = jnp.sum(num, axis=0, keepdims=True) + c + 1e-30
         P = num / den
         P1 = jnp.sum(P, axis=1)            # (M,)
-        Np = jnp.sum(P1)
+        Np = jnp.maximum(jnp.sum(P1), 1e-10)
         PX = P @ X                          # (M, D)
-        A = G * P1[:, None] + alpha * sigma2 * jnp.eye(M)
+        # ridge floor keeps the solve well-posed when sigma2 bottoms out
+        A = (G * P1[:, None]
+             + jnp.maximum(alpha * sigma2, 1e-6) * jnp.eye(M))
         B = PX - P1[:, None] * Y
         W_new = jnp.linalg.solve(A, B)
         TY = Y + G @ W_new
         xPx = jnp.sum(jnp.sum(P, axis=0) * jnp.sum(X * X, axis=1))
         yPy = jnp.sum(P1 * jnp.sum(TY * TY, axis=1))
         trPXY = jnp.sum(TY * (P @ X))
-        sigma2_new = jnp.maximum((xPx - 2 * trPXY + yPy) / (Np * D), 1e-10)
+        sigma2_new = jnp.maximum((xPx - 2 * trPXY + yPy) / (Np * D), 1e-9)
         return (it + 1, sigma2_new, sigma2, W_new)
 
     init = (jnp.int32(0), sigma2_0, sigma2_0 + 2 * tolerance + 1.0,
@@ -71,6 +80,11 @@ def cpd_nonrigid(target_points, source_points, alpha=5.0, beta=5.0,
     if len(X) > max_target_points:
         rng = np.random.default_rng(seed)
         X = X[rng.choice(len(X), max_target_points, replace=False)]
-    out = _cpd_loop(jnp.asarray(X), jnp.asarray(Y), float(alpha), float(beta),
-                    float(w), int(max_iterations), float(tolerance))
+    # full-f32 matmuls: the EM trajectory (sigma2 contraction) is
+    # sensitive to the TPU's default bf16 matmul precision, and the
+    # matrices here are tiny
+    with jax.default_matmul_precision("float32"):
+        out = _cpd_loop(jnp.asarray(X), jnp.asarray(Y), float(alpha),
+                        float(beta), float(w), int(max_iterations),
+                        float(tolerance))
     return np.asarray(out, dtype=np.float64)

@@ -128,7 +128,8 @@ def _next_cap(n: int) -> int:
 
 
 def _make_carve_body(axis, H, W, shape,
-                     start_level, pyramid_levels, caps):
+                     start_level, pyramid_levels, caps,
+                     packed_output=False):
     """The fused hierarchical carve: top level + all refinements in ONE
     traced program with static per-level caps. Returns (volume int8,
     undecided counts per level int32) — callers MUST check counts <= caps
@@ -246,8 +247,21 @@ def _make_carve_body(axis, H, W, shape,
                 hc = jnp.zeros(nxt.size, bool)
                 hit_carry = hc.at[safe_lin].max(any_hit_c, mode="drop")
 
-        return (status.reshape(gx, gy, gz)[:nx, :ny, :nz],
-                jnp.stack(counts))
+        vol = status.reshape(gx, gy, gz)[:nx, :ny, :nz]
+        if packed_output:
+            # bit-pack the alive mask on device: the volume pull is often
+            # link-bound (remote relay here, PCIe elsewhere) and the
+            # pipeline consumers binarize at alive==1 anyway — 8x less
+            # transfer than int8
+            alive = (vol == ALIVE).reshape(-1)
+            n = alive.shape[0]
+            pad = (-n) % 8
+            alive = jnp.pad(alive, (0, pad))
+            weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+            packed = (alive.reshape(-1, 8).astype(jnp.uint8)
+                      * weights[None, :]).sum(axis=1).astype(jnp.uint8)
+            return packed, jnp.stack(counts)
+        return vol, jnp.stack(counts)
 
     return body
 
@@ -279,7 +293,7 @@ def make_sharded_carver(mesh: Mesh, axis: str, H: int, W: int, V_total: int,
 @functools.lru_cache(maxsize=64)
 def make_fused_carver(H: int, W: int, shape,
                       start_level: int = 3, pyramid_levels: int = 8,
-                      caps=(8192, 32768)):
+                      caps=(8192, 32768), packed_output=False):
     """Single-chip FUSED hierarchical carve: the whole level loop is one
     jitted program (no host syncs between levels — the round-1 carver,
     ops/carving_hier.py:310-342, pays one dispatch + one scalar pull per
@@ -290,18 +304,21 @@ def make_fused_carver(H: int, W: int, shape,
     counts). Check counts <= caps. lru-cached per geometry so repeated
     carves reuse the compiled program."""
     body = _make_carve_body(None, H, W, tuple(shape),
-                            start_level, pyramid_levels, tuple(caps))
+                            start_level, pyramid_levels, tuple(caps),
+                            packed_output=packed_output)
     return jax.jit(body)
 
 
 def carve_fused(masks, cameras, valid, origin, voxel_size, shape,
-                caps=(8192, 32768), packed=None, hw=None):
+                caps=(8192, 32768), packed=None, hw=None, out="int8"):
     """One-shot fused single-chip carve with automatic cap retry.
 
     Drop-in replacement for ops.carving_hier.carve_hierarchical (verified
     bit-identical in tests/unit/test_parallel_carve.py). Pass `packed`
     (from ops.carving_hier.pack_masks) + hw=(H, W) to skip the big mask
-    upload when reusing mask sets."""
+    upload when reusing mask sets. out="alive" pulls a device-side
+    bit-packed alive mask (8x less transfer) and returns a bool volume
+    (alive == int8 volume's ==1 plane, verified in the same test)."""
     if packed is None:
         masks = np.asarray(masks)
         V, H, W = masks.shape
@@ -314,11 +331,16 @@ def carve_fused(masks, cameras, valid, origin, voxel_size, shape,
     origin = jnp.asarray(origin, jnp.float32)
     caps = list(caps)
     while True:
-        fn = make_fused_carver(H, W, tuple(shape), caps=tuple(caps))
+        fn = make_fused_carver(H, W, tuple(shape), caps=tuple(caps),
+                               packed_output=(out == "alive"))
         vol, counts = fn(packed, cameras, valid, origin,
                          jnp.float32(voxel_size))
         counts = np.asarray(counts)
         if (counts <= np.asarray(caps[:len(counts)])).all():
+            if out == "alive":
+                n = int(np.prod(shape))
+                bits = np.unpackbits(np.asarray(vol))[:n]
+                return bits.astype(bool).reshape(tuple(shape))
             return np.asarray(vol)
         # a level overflowed: its result is invalid — re-jit with the next
         # power-of-two cap (counts from the overflowed run are exact,

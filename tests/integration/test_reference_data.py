@@ -25,6 +25,16 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[2]
 
+
+def _fileset_of(scan, report, name):
+    """Fileset id from the run report, or located on disk when the task
+    was already complete (skipped entries carry no 'fileset')."""
+    fs = report.get(name, {}).get("fileset")
+    if fs:
+        return fs
+    from plant3dvision_tpu.utils import locate_task_filesets
+    return locate_task_filesets(scan, [name])[name]
+
 pytestmark = pytest.mark.skipif(
     not fixtures.has_reference_testdata("virtual_plant"),
     reason="reference testdata not available")
@@ -78,6 +88,55 @@ def test_virtual_plant_geom_pipeline_dtw(virtual_db):
     assert ev["mean_angle_error"] < 30.0, ev["mean_angle_error"]
     # organ-count sanity: within ~25% of the 41 true organs
     assert 30 <= len(out["angles"]) <= 55
+
+
+def test_virtual_plant_mesh_and_skeleton_parity(virtual_db):
+    """Mesh/skeleton parity on NON-synthetic geometry (VERDICT #3): the
+    SDF+marching-tetrahedra mesh (CGAL-Poisson role, reference
+    proc3d.py:67-89) and the Xu/CPD skeleton (CGAL MCF role, :126-158)
+    are scored against the fixture's ground-truth OBJ itself. Runs after
+    the pipeline test, reusing its cached filesets."""
+    from plant3dvision_tpu.fsdb import io
+    from plant3dvision_tpu.fsdb.geometry import TriangleMesh
+    from plant3dvision_tpu.metrics import chamfer_distance, surface_ratio
+
+    cfg = load_toml(REPO / "configs" / "geom_pipe_virtual.toml")
+    cfg["Voxels"]["voxel_size"] = 0.1
+    ctx = RunContext(virtual_db, "virtual_plant", cfg)
+    report = run_task(ctx, "TriangleMesh", report=False)
+    report2 = run_task(ctx, "RefineSkeleton", report=False)
+    scan = ctx.scan
+
+    mesh = io.read_triangle_mesh(scan.get_fileset(
+        _fileset_of(scan, report, "TriangleMesh")).get_files()[0])
+    gt_fs = next(fs for fs in scan.list_filesets()
+                 if fs.startswith("VirtualPlant"))
+    gt_file = next(f for f in scan.get_fileset(gt_fs).get_files()
+                   if (f.filename or "").endswith(".obj"))
+    gt = io.read_triangle_mesh(gt_file)
+    pts = gt.vertices[:, [0, 2, 1]].copy()
+    pts[:, 1] *= -1                    # lpy -> scanner axes
+    gt_mesh = TriangleMesh(pts, gt.triangles)
+
+    s_ours = mesh.sample_points_poisson_disk(20000)
+    s_gt = gt_mesh.sample_points_poisson_disk(20000)
+    ch = chamfer_distance(s_gt, s_ours)
+    sr = surface_ratio(mesh, gt_mesh)
+    # measured at 0.1 voxels: chamfer 0.50 (plant is ~23x23x120 units),
+    # surface ratio 3.5 (carved hulls are fatter than the true organs —
+    # tightening this is the pcd2mesh normals work)
+    assert ch < 1.0, ch
+    assert 0.8 < sr < 5.0, sr
+
+    sk = json.loads(scan.get_fileset(
+        _fileset_of(scan, report2, "RefineSkeleton")).get_files()[0].read_raw())
+    skpts = np.asarray(sk["points"])
+    from sklearn.neighbors import KDTree
+    d, _ = KDTree(np.asarray(s_gt.points)).query(skpts)
+    # the skeleton must thread INSIDE the true plant: every node within
+    # ~an organ radius of the GT surface (measured med 0.39 / p95 0.98)
+    assert float(np.median(d)) < 0.7, np.median(d)
+    assert float(np.percentile(d, 95)) < 1.5, np.percentile(d, 95)
 
 
 def test_real_plant_colmap_free_pipeline_dtw():

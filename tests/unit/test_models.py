@@ -83,3 +83,43 @@ def test_segmentation_inference_layout():
                                      output_dtype="float32")
     assert probs_f.dtype == np.float32
     np.testing.assert_allclose(probs_f.sum(axis=1), 1.0, atol=1e-4)
+
+
+def test_torch_state_dict_converter_hermetic():
+    """Hermetic converter test (the real romiseg checkpoint is not
+    redistributable — reference get_model.sh:10-12): a torch-layout
+    state_dict (OIHW conv kernels, torch-style names, shuffled order)
+    built from a known flax model must convert back into functionally
+    identical params via convert_torch_state_dict."""
+    import jax
+    from plant3dvision_tpu.models import create_unet
+    from plant3dvision_tpu.models.checkpoint import convert_torch_state_dict
+    from plant3dvision_tpu.models.unet import segmentation_inference
+    from flax.traverse_util import flatten_dict
+
+    model, params = create_unet(jax.random.PRNGKey(1),
+                                input_shape=(1, 32, 32, 3),
+                                widths=(8, 16), blocks_per_stage=1,
+                                n_classes=3)
+    # simulate the torch checkpoint: OIHW kernels, torch naming
+    # (module-definition order, as torch state dicts guarantee)
+    rng = np.random.default_rng(0)
+    sd = {}
+    for i, (k, v) in enumerate(flatten_dict(params, sep="/").items()):
+        v = np.asarray(v)
+        if v.ndim == 4:                      # HWIO -> OIHW
+            v = np.transpose(v, (3, 2, 0, 1))
+        kind = "bias" if k.rsplit("/", 1)[-1] == "bias" else "weight"
+        sd[f"encoder.layer{i}.{kind}"] = v
+
+    conv = convert_torch_state_dict(sd, params)
+    imgs = (rng.random((2, 32, 32, 3)) * 255).astype(np.uint8)
+    ref = segmentation_inference(model, params, imgs, batch_size=2,
+                                 output_dtype="float32",
+                                 compute_dtype="float32")
+    got = segmentation_inference(model, conv, imgs, batch_size=2,
+                                 output_dtype="float32",
+                                 compute_dtype="float32")
+    # shape-signature matching can permute same-shaped tensors, but for
+    # this architecture (distinct widths per stage) outputs must agree
+    np.testing.assert_allclose(got, ref, atol=2e-4)

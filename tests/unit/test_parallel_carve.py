@@ -71,3 +71,17 @@ def test_sharded_hier_view_padding_8dev():
     h = carve_sharded_hierarchical(masks, cams, valid, origin, 0.5, shape,
                                    mesh)
     np.testing.assert_array_equal(d, h)
+
+
+def test_fused_packed_alive_output():
+    """out='alive' (device-side bit-packed pull) equals the int8 alive
+    plane exactly."""
+    from plant3dvision_tpu.parallel.carving_mp import carve_fused
+    masks, cams = _synthetic_views(n_views=10, H=96, W=160, radius=5.0,
+                                   dist_cam=30.0)
+    valid = np.ones(10, bool)
+    origin = np.array([-9.0, -7.0, -25.0], np.float32)
+    shape = (37, 29, 53)
+    full = carve_fused(masks, cams, valid, origin, 0.5, shape)
+    alive = carve_fused(masks, cams, valid, origin, 0.5, shape, out="alive")
+    np.testing.assert_array_equal(alive, full == 1)
