@@ -160,3 +160,28 @@ def test_scan_get_measures(temp_db):
     assert scan.get_measures("angles") == [2.4, 2.4]
     assert scan.get_measures()["internodes"] == [6, 6]
     assert scan.get_measures("nope") == []
+
+
+def test_dash_explorer_interactive_html(temp_db, tmp_path):
+    """bin/dash_explorer writes a self-contained interactive HTML
+    (embedded point cloud + skeleton + sequence data, canvas viewer) —
+    the role of the reference's Dash app without a server."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    scans = _two_processed_scans(temp_db)
+    repo = Path(__file__).resolve().parents[2]
+    out = tmp_path / "explorer.html"
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(repo))
+    r = subprocess.run(
+        [sys.executable, str(repo / "bin" / "dash_explorer"),
+         str(scans[0].db.path() / scans[0].id), "--out", str(out)],
+        env=env, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    html = out.read_text()
+    assert "DATA =" in html and "canvas" in html
+    assert '"points": [[' in html          # embedded cloud
+    assert '"angles":' in html
+    assert out.stat().st_size > 20000
