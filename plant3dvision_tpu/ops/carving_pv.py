@@ -92,7 +92,10 @@ def _top_dense(cams, valid, pmax, pmin, level_off, level_w, origin,
                                        jnp.take(pmin_v, i11)))
         return fin & (vmax == 0), fin & (vmin > 0), out
 
-    kill, hit, out = jax.vmap(one_view)(cams, pmax, pmin)   # (V, M) each
+    # lax.map: per-view temporaries stay O(M); a vmap over hundreds of
+    # views materializes (V, M, 8, 3) floats (OOM at 300-view scans)
+    kill, hit, out = jax.lax.map(
+        lambda xs: one_view(*xs), (cams, pmax, pmin))       # (V, M) each
     kill = kill & valid[:, None]
     hit = hit & valid[:, None]
     no_eff = out | ~valid[:, None]

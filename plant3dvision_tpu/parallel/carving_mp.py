@@ -83,7 +83,11 @@ def _classify_local(cells_f, cams, valid, pmax, pmin, level_off, level_w,
                                        jnp.take(pmin_v, i11)))
         return fin & (vmax == 0), fin & (vmin > 0), out
 
-    kill, hit, out = jax.vmap(one_view)(cams, pmax, pmin)
+    # lax.map (not vmap): per-view temporaries are O(M) — a vmap over
+    # hundreds of views materializes (V, M, 8, 3) floats and OOMs at
+    # north-star scale (300 views x 4M fine-pass points = 14 GB)
+    kill, hit, out = jax.lax.map(
+        lambda xs: one_view(*xs), (cams, pmax, pmin))
     kill = kill & valid[:, None]
     hit = hit & valid[:, None]
     no_eff = out | ~valid[:, None]
@@ -108,7 +112,8 @@ def _exact_local(pts, cams, valid, masks_packed, H, W):
         m = ((byte >> (7 - (lin & 7)).astype(jnp.uint8)) & 1) != 0
         return in_img & ~m, in_img & m
 
-    kill, hit = jax.vmap(one_view)(cams, valid, masks_packed)
+    kill, hit = jax.lax.map(
+        lambda xs: one_view(*xs), (cams, valid, masks_packed))
     return kill, hit
 
 
