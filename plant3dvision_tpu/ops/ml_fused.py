@@ -1,0 +1,74 @@
+"""Fused CNN-segmentation -> multi-label averaging carve.
+
+The reference's ML pipeline round-trips every stage through the host and
+disk: romiseg writes one PNG per image x label (tasks/proc2d.py:359-393),
+then cl.Backprojection re-reads each and carves per label with its own
+kernel launch loop (cl.py:248-257). That is V x C image downloads +
+re-uploads around the accelerator.
+
+Here the per-label probability maps NEVER leave the device: each image
+batch runs the UNet forward and is immediately accumulated into the
+C-channel averaging volume by a single fused program. Per view the grid
+is projected once and one C-vector gather per voxel accumulates all
+labels simultaneously (the reference gathers once per label per view).
+
+Used by tasks/fused_ml.FusedSegmentationCarving; label-mask PNG artifacts
+remain available from the Segmentation2D task when needed on disk.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .carving import EPS, _project
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "log_mode"))
+def accumulate_label_views(vol, probs, cams, valid, origin, voxel_size,
+                           shape, log_mode):
+    """Accumulate a batch of per-view label probabilities into the
+    multi-label averaging volume.
+
+    vol : (C, nx, ny, nz) float32 accumulator (running sum).
+    probs : (B, H, W, C) float32 in [0, 1] — CNN softmax outputs.
+    cams : (B, 16); valid : (B,) bool (padded batches).
+    log_mode : reference Voxels `log=True` semantics — accumulate
+        log(eps + p) (cl.py:145-152 via tasks/cl.py:171-174).
+
+    Returns the updated (C, nx, ny, nz) accumulator. Bilinear sampling
+    at the continuous projection (matches ops.carving.average).
+    """
+    B, H, W, C = probs.shape
+    origin = jnp.asarray(origin, jnp.float32)
+    voxel_size = jnp.float32(voxel_size)
+    flat = probs.reshape(B, H * W, C)
+    if log_mode:
+        flat = jnp.log(EPS + flat)
+
+    def body(acc, inputs):
+        view, cam, ok = inputs
+        px, py, pxi, pyi, in_img = _project(cam, origin, voxel_size,
+                                            shape, W, H)
+        x0 = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, W - 2)
+        y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, H - 2)
+        fx = jnp.clip(px - x0.astype(jnp.float32), 0.0, 1.0)
+        fy = jnp.clip(py - y0.astype(jnp.float32), 0.0, 1.0)
+
+        def g(yy, xx):
+            # one gather of a C-vector per voxel: all labels at once
+            return jnp.take(view, (yy * W + xx).reshape(-1),
+                            axis=0).reshape(*shape, C)
+
+        val = (g(y0, x0) * ((1 - fx) * (1 - fy))[..., None]
+               + g(y0, x0 + 1) * (fx * (1 - fy))[..., None]
+               + g(y0 + 1, x0) * ((1 - fx) * fy)[..., None]
+               + g(y0 + 1, x0 + 1) * (fx * fy)[..., None])
+        w = jnp.where(in_img & ok, 1.0, 0.0)[..., None]
+        return acc + jnp.moveaxis(val * w, -1, 0), None
+
+    acc, _ = jax.lax.scan(body, vol, (flat, cams, valid))
+    return acc

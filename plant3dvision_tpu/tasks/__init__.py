@@ -15,6 +15,7 @@ from .proc2d import Undistorted, Masks, Segmentation2D  # noqa: F401
 from .cl import Voxels, VoxelsWithPrior  # noqa: F401
 from .visualization import Visualization  # noqa: F401
 from .fused import FusedCarving  # noqa: F401
+from .fused_ml import FusedSegmentationCarving  # noqa: F401
 from .proc3d import (  # noqa: F401
     PointCloud,
     TriangleMesh,

@@ -137,3 +137,52 @@ def test_organ_path_angle_accuracy(ml_db):
                    for a in out["angles"]])
     assert err < 10.0, out["angles"]
     np.testing.assert_allclose(out["internodes"], 14.0, atol=3.0)
+
+
+def test_fused_segmentation_carving_matches_two_stage(ml_db):
+    """FusedSegmentationCarving (device-resident CNN->averaging volume,
+    tasks/fused_ml.py) matches the Segmentation2D -> Voxels(averaging)
+    route up to the label-PNG uint8 quantization the two-stage path
+    introduces."""
+    scan = ml_db.get_scan("synthetic_ml")
+    cfg = {
+        "Segmentation2D": {"upstream_task": "ImagesFilesetExists",
+                           "model_fileset": "NamedFilesetExists",
+                           "query": {"channel": "rgb"},
+                           "Sx": 256, "Sy": 256,
+                           "binarize": False, "dilation": 0,
+                           "inverted_labels": []},
+        "NamedFilesetExists": {"fileset_id": "models"},
+        "Voxels": {"upstream_mask": "Segmentation2D",
+                   "upstream_colmap": "DummyTask",
+                   "camera_metadata": "camera", "voxel_size": 2.0,
+                   "type": "averaging", "log": False},
+        "FusedSegmentationCarving": {
+            "upstream_task": "ImagesFilesetExists",
+            "model_fileset": "NamedFilesetExists",
+            "query": {"channel": "rgb"},
+            "camera_metadata": "camera", "voxel_size": 2.0,
+            "Sx": 256, "Sy": 256, "batch_size": 8, "log": False},
+    }
+    ctx = RunContext(ml_db, "synthetic_ml", cfg)
+    r1 = run_task(ctx, "Voxels", report=False)
+    r2 = run_task(ctx, "FusedSegmentationCarving", report=False)
+
+    from plant3dvision_tpu.utils import locate_task_filesets
+
+    def _vols(name, report):
+        fs_id = report.get(name, {}).get("fileset") or \
+            locate_task_filesets(scan, [name])[name]
+        return io.read_npz(scan.get_fileset(fs_id).get_files()[0])
+
+    two_stage = _vols("Voxels", r1)
+    fused = _vols("FusedSegmentationCarving", r2)
+    assert set(fused) == set(two_stage) == set(LABELS)
+    n_views = 36
+    for label in LABELS:
+        a, b = two_stage[label], fused[label]
+        assert a.shape == b.shape
+        # uint8 PNG quantization bounds the per-view error at 0.5/255
+        tol = n_views * 0.5 / 255.0 + 1e-3
+        assert np.abs(a - b).max() <= tol * 3, (label, np.abs(a - b).max())
+        assert np.abs(a - b).mean() <= tol, (label, np.abs(a - b).mean())
