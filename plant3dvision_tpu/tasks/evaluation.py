@@ -99,7 +99,11 @@ class VoxelsGroundTruth(RomiTask):
         res["background"] = bg
         outfile = self.output_file()
         io.write_npz(outfile, res)
-        outfile.set_metadata({"voxel_size": vs, "origin": vmin.tolist()})
+        # origin in SCANNER axes: the array transform above maps obj
+        # (x, y, z) -> scanner (x, -z, y), so the transformed grid's
+        # [0,0,0] corner sits at (xmin, -zmax, ymin) of the OBJ bbox
+        origin_scanner = [float(vmin[0]), float(-vmax[2]), float(vmin[1])]
+        outfile.set_metadata({"voxel_size": vs, "origin": origin_scanner})
 
 
 class ClusteredMeshGroundTruth(RomiTask):
@@ -181,19 +185,71 @@ class VoxelsEvaluation(EvaluationTask):
     (reference tasks/evaluation.py:399-477)."""
 
     upstream_task = Parameter(default="Voxels")
-    ground_truth = Parameter(default="VirtualPlantObj")
+    ground_truth = Parameter(default="VoxelsGroundTruth")
     threshold = Parameter(default=0.5)
+    contrast = Parameter(default=10.0)
 
     def evaluate(self):
         vfile = self.input()["upstream"].get(create=False).get_files()[0]
         vols = io.read_npz(vfile)
-        origin = np.asarray(vfile.get_metadata("origin"))
+        origin = np.asarray(vfile.get_metadata("origin"), float)
         vs = float(vfile.get_metadata("voxel_size"))
-
         gt_file = self.input()["ground_truth"].get(create=False).get_files()[0]
+        if (gt_file.filename or "").endswith(".npz"):
+            return self._evaluate_vs_gt_volumes(vols, origin, vs, gt_file)
+        return self._evaluate_vs_gt_mesh(vols, origin, vs, gt_file)
+
+    def _evaluate_vs_gt_volumes(self, vols, origin, vs, gt_file):
+        """The reference protocol (tasks/evaluation.py:421-477): label by
+        argmax over channels, demand `contrast`x dominance over the other
+        labels, count tp/fp/tn/fn per label vs the voxelized GT — but
+        with the GT grid RESAMPLED onto the prediction grid by world
+        coordinates (the reference's naive [:shape] crop silently
+        misaligns when the grids' origins differ)."""
+        gts = io.read_npz(gt_file)
+        gt_origin = np.asarray(gt_file.get_metadata("origin"), float)
+        gt_vs = float(gt_file.get_metadata("voxel_size"))
+
+        labels = [l for l in gts.keys()]
+        res = np.stack([np.asarray(vols[l], float) for l in labels], axis=-1)
+        res_idx = np.argmax(res, axis=-1)
+
+        shape = res.shape[:3]
+        ii, jj, kk = np.meshgrid(*(np.arange(s) for s in shape),
+                                 indexing="ij")
+        world = origin + np.stack([ii, jj, kk], axis=-1) * vs
+        gidx = np.round((world - gt_origin) / gt_vs).astype(np.int64)
+
+        results = {}
+        for i, label in enumerate(labels):
+            if label == "background":
+                continue
+            pred_c = res_idx == i
+            others = np.delete(res, i, axis=-1).max(axis=-1)
+            pred_c = pred_c & (res[..., i] > float(self.contrast) * others)
+
+            gt_arr = np.asarray(gts[label])
+            inb = np.all((gidx >= 0) & (gidx < np.array(gt_arr.shape)),
+                         axis=-1)
+            gt_c = np.zeros(shape, bool)
+            gi = gidx[inb]
+            gt_c[inb] = gt_arr[gi[:, 0], gi[:, 1], gi[:, 2]] > 0.5
+
+            tp = int(np.sum(pred_c & gt_c))
+            fp = int(np.sum(pred_c & ~gt_c))
+            fn = int(np.sum(~pred_c & gt_c))
+            tn = int(np.sum(~pred_c & ~gt_c))
+            results[label] = {
+                "tp": tp, "fp": fp, "fn": fn, "tn": tn,
+                "precision": tp / (tp + fp) if tp + fp else None,
+                "recall": tp / (tp + fn) if tp + fn else None,
+            }
+        return results
+
+    def _evaluate_vs_gt_mesh(self, vols, origin, vs, gt_file):
+        """Mesh-sampling variant (GT = VirtualPlantObj directly)."""
         mesh = io.read_triangle_mesh(gt_file)
         pcd = mesh.sample_points_poisson_disk(200000)
-
         results = {}
         from ..proc3d import point2index
         for label, vol in vols.items():

@@ -214,3 +214,41 @@ def test_real_plant_colmap_free_pipeline_dtw():
         cal = json.loads(cfs.get_file("calibration").read_raw())
         assert cal["coherence"] > 0.4, cal["coherence"]
         assert cal["feature_ba"] is None or cal["feature_ba"]["rms_px"] < 3.0
+
+
+def test_virtual_plant_voxels_evaluation_protocol(virtual_db):
+    """The reference's VoxelsEvaluation protocol end-to-end on the
+    fixture (VERDICT #6): multi-label averaging volumes carved from the
+    fixture's own per-organ mask channels (no CNN needed — reference
+    ml_pipe_virtual route), VoxelsGroundTruth voxelized from the OBJ,
+    tp/fp/tn/fn per label (reference tasks/evaluation.py:399-477)."""
+    labels = ["flower", "leaf", "pedicel", "stem", "fruit", "background"]
+    cfg = {
+        "Voxels": {"upstream_mask": "ImagesFilesetExists",
+                   "upstream_colmap": "DummyTask",
+                   "camera_metadata": "camera",
+                   "voxel_size": 0.3, "type": "averaging", "log": False,
+                   "labels": labels},
+        "VoxelsGroundTruth": {"voxel_size": 0.3},
+        # contrast=1 (plain argmax): the fixture's organ channels are
+        # occlusion-rendered binary masks, so the 10x dominance rule
+        # (tuned for near-one-hot CNN softmax) can never fire here
+        "VoxelsEvaluation": {"upstream_task": "Voxels",
+                             "ground_truth": "VoxelsGroundTruth",
+                             "contrast": 1.0},
+    }
+    ctx = RunContext(virtual_db, "virtual_plant", cfg)
+    report = run_task(ctx, "VoxelsEvaluation", report=False)
+    scan = ctx.scan
+    efs = scan.get_fileset(_fileset_of(scan, report, "VoxelsEvaluation"))
+    ev = json.loads(efs.get_files()[0].read_raw())
+    # the GT OBJ carries 4 organ materials (no flower mesh in the fixture)
+    assert set(ev) == {"leaf", "pedicel", "stem", "fruit"}
+    # counts are a complete partition of the prediction grid
+    n = sum(ev["leaf"][k] for k in ("tp", "fp", "fn", "tn"))
+    assert n == 78 * 80 * 400
+    # measured quality on the fixture: the leaf channel (least occluded
+    # organ) must show real agreement; thin occluded organs are known to
+    # lose the per-view-argmax vote (same for the reference's route)
+    assert ev["leaf"]["tp"] > 800 and ev["leaf"]["recall"] > 0.5, ev["leaf"]
+    assert ev["fruit"]["tp"] > 0, ev["fruit"]
