@@ -142,17 +142,28 @@ def main():
     ap.add_argument("--reference-data", action="store_true",
                     help="also run the reference-fixture parity pipelines")
     ap.add_argument("--out", default="E2E_REPORT.json")
+    ap.add_argument("--platform", default=None,
+                    help="force a JAX backend (e.g. cpu) before init")
+    ap.add_argument("--skip-northstar", action="store_true")
     args = ap.parse_args()
 
     import jax
-    report = {"backend": jax.devices()[0].platform,
-              "device": str(jax.devices()[0])}
-    report["northstar"] = run_northstar(args.views, args.voxel)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    out_path = Path(args.out)
+    report = (json.loads(out_path.read_text()) if out_path.exists() else {})
+    report.update({"backend": jax.devices()[0].platform,
+                   "device": str(jax.devices()[0])})
+    if not args.skip_northstar:
+        report["northstar"] = run_northstar(args.views, args.voxel)
     if args.reference_data:
         report["reference_fixtures"] = run_reference_fixtures()
 
-    Path(args.out).write_text(json.dumps(report, indent=2) + "\n")
-    ns = report["northstar"]
+    out_path.write_text(json.dumps(report, indent=2) + "\n")
+    ns = report.get("northstar")
+    if ns is None:
+        print(json.dumps(report.get("reference_fixtures", {})))
+        return
     print(json.dumps({
         "metric": "geom_pipeline_e2e",
         "value": ns["e2e_seconds"],

@@ -252,3 +252,54 @@ def test_virtual_plant_voxels_evaluation_protocol(virtual_db):
     # lose the per-view-argmax vote (same for the reference's route)
     assert ev["leaf"]["tp"] > 800 and ev["leaf"]["recall"] > 0.5, ev["leaf"]
     assert ev["fruit"]["tp"] > 0, ev["fruit"]
+
+
+def test_virtual_plant_ml_route_organ_angles(virtual_db):
+    """The ML route's task chain on the fixture: multi-label averaging
+    volumes -> multiclass PointCloud -> SegmentedPointCloud ->
+    OrganSegmentation -> organ-based AnglesAndInternodes, using the
+    fixture's own per-organ channels as the segmentation (the CNN is
+    exercised by the synthetic-ML suite; reference test combo #4 is
+    ml_pipe + virtual_plant, test_anglesandinternodes.py:95-155)."""
+    labels = ["flower", "leaf", "pedicel", "stem", "fruit", "background"]
+    scan = virtual_db.get_scan("virtual_plant")
+    scan.get_fileset("images").set_metadata("label_names", labels)
+    cfg = {
+        "Voxels": {"upstream_mask": "ImagesFilesetExists",
+                   "upstream_colmap": "DummyTask",
+                   # 0.15: CPU-budget compromise (13 organs found; 0.1
+                   # yields 20 but takes 2.4x longer)
+                   "camera_metadata": "camera", "voxel_size": 0.15,
+                   "type": "averaging", "log": False, "labels": labels},
+        "PointCloud": {"upstream_task": "Voxels", "level_set_value": 0.5,
+                       "background_prior": 1.0, "min_contrast": 1.0,
+                       "min_score": 0.01, "log": False},
+        "SegmentedPointCloud": {"upstream_task": "PointCloud",
+                                "upstream_segmentation":
+                                    "ImagesFilesetExists",
+                                "use_colmap_poses": False},
+        "OrganSegmentation": {"upstream_task": "SegmentedPointCloud",
+                              "eps": 1.0, "min_points": 5},
+        "AnglesAndInternodes": {"upstream_task": "OrganSegmentation",
+                                "organ_type": "fruit", "stem_axis": 2,
+                                "min_elongation_ratio": 2.0,
+                                "min_fruit_size": 0.1},
+        "AnglesAndInternodesEvaluation": {
+            "upstream_task": "AnglesAndInternodes",
+            "ground_truth": "VirtualPlantObj",
+            "free_ends": 0.4, "free_ends_eps": 1e-2},
+    }
+    ctx = RunContext(virtual_db, "virtual_plant", cfg)
+    report = run_task(ctx, "AnglesAndInternodesEvaluation", report=False)
+    fs = ctx.scan.get_fileset(
+        _fileset_of(ctx.scan, report, "AnglesAndInternodes"))
+    out = json.loads(fs.get_file("AnglesAndInternodes").read_raw())
+    # the reference's oracle for this combo (test_anglesandinternodes.py)
+    assert len(out["angles"]) > 10, out["angles"]
+    assert len(out["angles"]) <= 41
+    efs = ctx.scan.get_fileset(
+        _fileset_of(ctx.scan, report, "AnglesAndInternodesEvaluation"))
+    ev = json.loads(efs.get_files()[0].read_raw())
+    # organ-path angles are cruder than the tree path (same upstream);
+    # measured ncost 0.89 at 13/41 organs (0.15 vox) — collapse guard only
+    assert ev["normalized_cost"] < 1.2, ev["normalized_cost"]
