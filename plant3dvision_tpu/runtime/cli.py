@@ -63,11 +63,17 @@ def main(argv=None):
             task_name, param = key.split(".", 1)
         except ValueError:
             raise SystemExit(f"Bad --param (want Task.key=value): {override}")
-        try:
-            import json as _json
-            value = _json.loads(value)
-        except ValueError:
-            pass  # keep the raw string
+        lowered = value.strip().lower()
+        if lowered in ("true", "false"):        # Python-style bools too
+            value = lowered == "true"
+        elif lowered in ("none", "null"):
+            value = None
+        else:
+            try:
+                import json as _json
+                value = _json.loads(value)
+            except ValueError:
+                pass  # keep the raw string
         ctx.config.setdefault(task_name, {})[param] = value
     try:
         run_task(ctx, args.task)

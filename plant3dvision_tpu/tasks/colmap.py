@@ -170,7 +170,8 @@ class TurntableCalibration(RomiTask):
                 gray, kp_masks, res["theta_raw"], poses, W, H,
                 k=int(self.n_keypoints),
                 strides=tuple(int(s) for s in self.strides),
-                downsample=int(self.feature_downsample))
+                downsample=int(self.feature_downsample),
+                min_matches=int(self.min_matches))
             if ba is not None:
                 logger.info(
                     f"feature BA: rms {ba['rms_px']:.2f} px, "

@@ -100,9 +100,13 @@ class VoxelsGroundTruth(RomiTask):
         outfile = self.output_file()
         io.write_npz(outfile, res)
         # origin in SCANNER axes: the array transform above maps obj
-        # (x, y, z) -> scanner (x, -z, y), so the transformed grid's
-        # [0,0,0] corner sits at (xmin, -zmax, ymin) of the OBJ bbox
-        origin_scanner = [float(vmin[0]), float(-vmax[2]), float(vmin[1])]
+        # (x, y, z) -> scanner (x, -z, y). After np.flip, index 0 of the
+        # scanner-y axis is the LAST obj-z cell — the grid-shape rule
+        # pads past vmax, so the corner is -(zmin + (Lz-1)*vs), not -zmax
+        Lz = shape[2]
+        origin_scanner = [float(vmin[0]),
+                          float(-(vmin[2] + (Lz - 1) * vs)),
+                          float(vmin[1])]
         outfile.set_metadata({"voxel_size": vs, "origin": origin_scanner})
 
 
@@ -306,7 +310,7 @@ class CylinderRadiusGroundTruth(RomiTask):
 
     def run(self):
         from ..evaluation import make_cylinder_pcd
-        rng = np.random.default_rng(int(self.seed) or None)
+        rng = np.random.default_rng(int(self.seed))
         radius = (float(rng.uniform(1, 100)) if self.radius == "random"
                   else float(self.radius))
         height = (float(rng.uniform(1, 100)) if self.height == "random"

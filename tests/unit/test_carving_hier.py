@@ -146,3 +146,42 @@ def test_carve_tolerant_votes():
     # dissenter is now out-voted — tolerance fattens, never starves)
     assert ((tol1 == 1) & (strict == 1)).sum() == (strict == 1).sum()
     assert (tol1 == 1).sum() <= 2.0 * (strict == 1).sum()
+
+
+def test_backprojection_kill_tolerance_across_flushes():
+    """The vote tolerance must count dissent ACROSS incremental flush
+    batches — per-batch verdicts OR-merged would let a voxel with
+    tolerance-exceeding total dissent survive."""
+    import jax.numpy as jnp
+    from plant3dvision_tpu.ops.carving import (Backprojection,
+                                               carve_tolerant)
+
+    from .test_ops import _synthetic_views
+
+    masks, cams = _synthetic_views(n_views=10, H=96, W=96, radius=7.0,
+                                   dist_cam=40.0)
+    bad = masks.copy()
+    bad[2] = 0
+    bad[7] = 0        # one poisoned view in each flush batch
+    origin = [-16.0, -16.0, -16.0]
+    shape = (33, 33, 33)
+
+    ref = np.asarray(carve_tolerant(
+        jnp.asarray(bad), jnp.asarray(cams), jnp.ones(10, bool),
+        jnp.asarray(origin, jnp.float32), 1.0, shape, 1))
+
+    bp = Backprojection(shape=shape, origin=origin, voxel_size=1.0,
+                        type="carving", kill_tolerance=1)
+    for v in range(5):
+        bp.process_view(cams[v, :4], cams[v, 4:13].reshape(3, 3),
+                        cams[v, 13:16], bad[v])
+    bp.get_values()                      # flush batch 1
+    for v in range(5, 10):
+        bp.process_view(cams[v, :4], cams[v, 4:13].reshape(3, 3),
+                        cams[v, 13:16], bad[v])
+    out = bp.get_values()                # flush batch 2
+
+    np.testing.assert_array_equal(out, ref)
+    # sanity: with per-batch tolerance this would differ — each batch
+    # has only ONE poisoned view, i.e. <= tolerance per batch
+    assert (ref == 1).sum() == 0        # 2 empty views > tolerance 1
