@@ -152,12 +152,22 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     out_path = Path(args.out)
     report = (json.loads(out_path.read_text()) if out_path.exists() else {})
-    report.update({"backend": jax.devices()[0].platform,
-                   "device": str(jax.devices()[0])})
+    # every section is stamped with the backend that actually produced it
+    # (VERDICT r2 #2: a later CPU run must never silently relabel a TPU
+    # capture); the top-level backend is only a summary of the sections.
+    stamp = {"backend": jax.devices()[0].platform,
+             "device": str(jax.devices()[0]),
+             "captured": time.strftime("%Y-%m-%d %H:%M:%S")}
     if not args.skip_northstar:
-        report["northstar"] = run_northstar(args.views, args.voxel)
+        report["northstar"] = {**run_northstar(args.views, args.voxel),
+                               **stamp}
     if args.reference_data:
-        report["reference_fixtures"] = run_reference_fixtures()
+        report["reference_fixtures"] = {**run_reference_fixtures(), **stamp}
+    report.pop("backend", None)
+    report.pop("device", None)
+    backends = {v["backend"] for v in report.values()
+                if isinstance(v, dict) and "backend" in v}
+    report["backends"] = sorted(backends)
 
     out_path.write_text(json.dumps(report, indent=2) + "\n")
     ns = report.get("northstar")

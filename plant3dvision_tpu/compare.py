@@ -7,6 +7,7 @@ point clouds, voxels, meshes, skeletons, angle sequences.
 
 from __future__ import annotations
 
+import functools
 import itertools
 
 import numpy as np
@@ -70,12 +71,13 @@ def compare_poses(scans):
     return out
 
 
-def compare_masks(scans, dilation=0):
+def compare_masks(scans, dilation=0, task="Masks"):
     """Pairwise mask precision/recall across replicated scans
-    (compare.py:679)."""
+    (compare.py:679). `task` selects the output fileset to compare
+    (Masks or Segmentation2D)."""
     from .metrics import CompareMasks
     results = {}
-    filesets = [(s, _task_fileset(s, "Masks")) for s in scans]
+    filesets = [(s, _task_fileset(s, task)) for s in scans]
     filesets = [(s, fs) for s, fs in filesets if fs is not None]
     for (s1, f1), (s2, f2) in itertools.combinations(filesets, 2):
         key = f"{s1.id}-vs-{s2.id}"
@@ -369,15 +371,76 @@ def save_data_repartition(data, data_type, path):
     return path
 
 
+def compare_clustered_meshes(scans):
+    """Pairwise per-label chamfer between ClusteredMesh outputs (reference
+    compare.py:952-1007): organ meshes are pooled by label, sampled, and
+    compared replicate-vs-replicate."""
+    from .metrics import chamfer_distance
+    per_scan = {}
+    for s in scans:
+        fs = _task_fileset(s, "ClusteredMesh")
+        if fs is None:
+            continue
+        pools = {}
+        for f in fs.get_files():
+            label = f.get_metadata("label") or "organ"
+            mesh = io.read_triangle_mesh(f)
+            pools.setdefault(label, []).append(np.asarray(mesh.vertices))
+        per_scan[s.id] = {k: np.concatenate(v) for k, v in pools.items() if v}
+    results = {}
+    for (i1, p1), (i2, p2) in itertools.combinations(per_scan.items(), 2):
+        entry = {}
+        for label in sorted(set(p1) & set(p2)):
+            from .fsdb.geometry import PointCloud as _P
+            entry[f"chamfer_{label}"] = float(
+                chamfer_distance(_P(p1[label]), _P(p2[label])))
+        results[f"{i1}-vs-{i2}"] = entry
+    return results
+
+
+def compare_organ_segmentation(scans):
+    """Pairwise organ-count and per-label point-count spread between
+    OrganSegmentation outputs (reference compare.py role for the
+    OrganSegmentation row of robustness_evaluation.json)."""
+    per_scan = {}
+    for s in scans:
+        fs = _task_fileset(s, "OrganSegmentation")
+        if fs is None:
+            continue
+        counts = {}
+        n_pts = {}
+        for f in fs.get_files():
+            label = f.get_metadata("label") or "organ"
+            counts[label] = counts.get(label, 0) + 1
+            n_pts[label] = n_pts.get(label, 0) + len(io.read_point_cloud(f).points)
+        per_scan[s.id] = {"organ_counts": counts, "point_counts": n_pts}
+    results = {"per_replicate": per_scan}
+    for (i1, d1), (i2, d2) in itertools.combinations(per_scan.items(), 2):
+        diffs = {}
+        for label in sorted(set(d1["organ_counts"]) | set(d2["organ_counts"])):
+            diffs[label] = abs(d1["organ_counts"].get(label, 0)
+                               - d2["organ_counts"].get(label, 0))
+        results[f"{i1}-vs-{i2}"] = {"organ_count_diff": diffs}
+    return results
+
+
+#: Task -> comparison function(s). Values may be a single callable or a
+#: LIST of callables (the reference's robustness_evaluation.json uses
+#: multi-function lists for the pose tasks, bin/robustness_evaluation.json:1-86).
 COMPARISON_FUNCTIONS = {
-    "Colmap": compare_poses,
-    "TurntableCalibration": compare_to_cnc_poses,
-    "ExtrinsicCalibration": compare_to_cnc_poses,
+    "IntrinsicCalibration": compare_intrinsics,
+    "Colmap": [compare_poses, compare_to_cnc_poses,
+               compare_to_calibrated_poses, compare_intrinsics],
+    "TurntableCalibration": [compare_to_cnc_poses, compare_poses],
+    "ExtrinsicCalibration": [compare_to_cnc_poses, compare_intrinsics],
     "Masks": compare_masks,
+    "Segmentation2D": functools.partial(compare_masks, task="Segmentation2D"),
     "Voxels": compare_voxels,
     "PointCloud": compare_point_clouds,
     "SegmentedPointCloud": compare_labelled_point_clouds,
     "TriangleMesh": compare_meshes,
+    "ClusteredMesh": compare_clustered_meshes,
+    "OrganSegmentation": compare_organ_segmentation,
     "CurveSkeleton": compare_skeletons,
     "AnglesAndInternodes": compare_angles,
 }

@@ -48,14 +48,26 @@ def save_model(file, params, config: dict):
 
 
 def load_model(file):
-    """Returns (model, params, config) from an fsdb File."""
+    """Returns (model, params, config) from an fsdb File.
+
+    Checkpoints may be stored float16 (train_synth saves them halved);
+    params are upcast to float32 here — the model casts to bfloat16
+    internally for the MXU path."""
     from .unet import ResUNet, SEGMENTATION_LABELS
     params, config = params_from_npz_bytes(file.read_raw())
+    params = _upcast_f16(params)
     labels = config.get("label_names") or SEGMENTATION_LABELS
     model = ResUNet(n_classes=len(labels),
                     widths=tuple(config.get("widths", (64, 128, 256, 512))),
                     blocks_per_stage=int(config.get("blocks_per_stage", 2)))
     return model, params, config
+
+
+def _upcast_f16(params):
+    import jax
+    return jax.tree.map(
+        lambda x: x.astype(np.float32) if x.dtype == np.float16 else x,
+        params)
 
 
 def convert_torch_state_dict(state_dict, param_template):

@@ -119,15 +119,73 @@ def vol2pcd(volume, origin, voxel_size, level_set_value=0, dist_cap=16,
     return PointCloud(pts, normals).normalize_normals()
 
 
-def pcd2mesh(pcd: PointCloud, voxel_size=1.0, depth_pad=4):
+def _imls_field(pts, normals, origin, shape, voxel_size, sigma=0.6,
+                cutoff=1.8):
+    """Normal-weighted implicit field on the voxel grid (IMLS).
+
+    f(x) = sum_i w_i (x - p_i)·n_i / sum_i w_i with Gaussian distance
+    weights and a one-sided COMPATIBILITY factor (contributions whose
+    normal disagrees with the direction point->cell are damped) — the
+    standard fix for thin-sheet cancellation, which matters here: stems
+    and pedicels are thinner than a voxel, so opposite-side points land
+    in the same cells. Positive outside (normals are outward).
+
+    Splatted with 27 per-offset `bincount` passes — vectorized scatter,
+    no per-point Python loop. Returns (F, W): weighted sums and weights,
+    both flat float32 of prod(shape)."""
+    size = int(np.prod(shape))
+    g = (pts - origin) / voxel_size                    # float voxel coords
+    base = np.rint(g).astype(np.int64)
+    inv2s2 = 1.0 / (2.0 * sigma * sigma)
+    shape = np.asarray(shape)
+    stride = np.array([shape[1] * shape[2], shape[2], 1], np.int64)
+    flats, w_all, wp_all = [], [], []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                off = np.array([dx, dy, dz])
+                cell = base + off
+                ok = ((cell >= 0) & (cell < shape)).all(axis=1)
+                delta = cell - g                       # voxel units
+                d2 = np.einsum("ij,ij->i", delta, delta)
+                ok &= d2 < cutoff * cutoff
+                if not ok.any():
+                    continue
+                delta_w = delta[ok] * voxel_size       # world units
+                n = normals[ok]
+                plane = np.einsum("ij,ij->i", delta_w, n)
+                dist = np.sqrt(d2[ok]) * voxel_size
+                compat = np.where(
+                    dist > 0.2 * voxel_size,
+                    np.clip(0.5 * (1.0 + plane / np.maximum(dist, 1e-9)),
+                            0.05, 1.0),
+                    1.0)
+                w = np.exp(-d2[ok] * inv2s2) * compat
+                flats.append(cell[ok] @ stride)
+                w_all.append(w)
+                wp_all.append(w * plane)
+    # single accumulation pass over all offsets (a bincount per offset
+    # would allocate the full grid 54x)
+    flat = np.concatenate(flats)
+    F = np.bincount(flat, weights=np.concatenate(wp_all),
+                    minlength=size).astype(np.float32)
+    W = np.bincount(flat, weights=np.concatenate(w_all),
+                    minlength=size).astype(np.float32)
+    return F, W
+
+
+def pcd2mesh(pcd: PointCloud, voxel_size=1.0, depth_pad=4, sigma=0.6,
+             shrink=0.0):
     """Oriented point cloud -> watertight triangle mesh.
 
-    Role of the reference's CGAL Poisson reconstruction (proc3d.py:67-89,
-    romicgal.poisson_mesh): here the implicit function is a voxelized
-    signed-distance field (occupancy from the points, sign resolved by the
-    EDT inside/outside split), extracted with the native marching
-    tetrahedra. Requires normals only for API parity (the EDT sign already
-    encodes inside/outside for closed surfaces).
+    Role of the reference's CGAL (screened) Poisson reconstruction
+    (proc3d.py:67-89, romicgal.poisson_mesh): a NORMAL-WEIGHTED implicit
+    (IMLS) evaluated on the voxel grid — the zero level set interpolates
+    the oriented points instead of wrapping their occupancy shell (which
+    inflated thin organs by ~a voxel per side; VERDICT r2 #5). Cells far
+    from any point blend into the EDT signed-distance fallback so the
+    field stays sign-correct deep inside/outside, then the native
+    marching-tetrahedra extracts level 0.
     """
     import jax.numpy as jnp
 
@@ -135,6 +193,7 @@ def pcd2mesh(pcd: PointCloud, voxel_size=1.0, depth_pad=4):
     from .ops.edt import signed_distance
 
     pts = np.asarray(pcd.points if hasattr(pcd, "points") else pcd)
+    normals = getattr(pcd, "normals", None)
     vol, origin = pcd2vol(pts, voxel_size, zero_padding=depth_pad)
     occ = (vol > 0).astype(np.float32)
     # close small gaps between surface samples before extracting
@@ -142,7 +201,22 @@ def pcd2mesh(pcd: PointCloud, voxel_size=1.0, depth_pad=4):
     occ = binary_closing(occ > 0, iterations=2)
     occ = binary_fill_holes(occ).astype(np.float32)
     sd = np.asarray(signed_distance(jnp.asarray(occ), cap=8))
-    mesh = marching_cubes(sd, level=0.0)
+    if normals is None or len(normals) != len(pts):
+        mesh = marching_cubes(sd, level=0.0)
+        mesh.vertices = index2point(mesh.vertices, origin, voxel_size)
+        return mesh
+
+    F, W = _imls_field(pts, np.asarray(normals, np.float32), origin,
+                       vol.shape, voxel_size, sigma=sigma)
+    fallback = (-sd * voxel_size).ravel()              # positive outside
+    alpha = np.clip(W / 0.5, 0.0, 1.0)
+    f = alpha * (F / np.maximum(W, 1e-9)) + (1.0 - alpha) * fallback
+    # positive-inside for extraction (matches the EDT-only path).
+    # `shrink` (world units) extracts the level set inside the points —
+    # compensates known acquisition dilation (e.g. any-coverage binary
+    # silhouettes add ~half a mask pixel per side to every thin organ).
+    field = (-f - shrink).reshape(vol.shape)
+    mesh = marching_cubes(field, level=0.0)
     mesh.vertices = index2point(mesh.vertices, origin, voxel_size)
     return mesh
 
@@ -203,10 +277,12 @@ def pcd2vol(pcd_points, voxel_size, zero_padding=0):
     """Voxelize a point cloud: counts per cell (reference proc3d.py:92-124)."""
     pcd_points = np.asarray(pcd_points)
     origin = np.min(pcd_points, axis=0) - zero_padding * voxel_size
+    # point2index against the padded origin already places the minimum
+    # point at index `zero_padding` — do NOT shift again (a double shift
+    # here displaced every derived mesh by zero_padding voxels)
     indices = point2index(pcd_points, origin, voxel_size)
-    shape = indices.max(axis=0)
-    vol = np.zeros(tuple(shape + 2 * zero_padding + 1), dtype=float)
-    indices = indices + zero_padding
+    shape = indices.max(axis=0) + zero_padding + 1
+    vol = np.zeros(tuple(shape), dtype=float)
     np.add.at(vol, (indices[:, 0], indices[:, 1], indices[:, 2]), 1.0)
     return vol, origin
 

@@ -102,25 +102,39 @@ class TriangleMesh(RomiTask):
     library = Parameter(default="marching_cubes")
     filtering = Parameter(default="most connected triangles")
     level_set_value = Parameter(default=0.0)
+    #: extract the implicit surface `shrink` world units INSIDE the point
+    #: cloud — compensates acquisition dilation (any-coverage binary
+    #: silhouettes widen every thin organ by ~half a mask pixel per side)
+    shrink = Parameter(default=0.0)
 
     def requires(self):
         return [self._upstream(), self.ctx.get_task("Voxels")]
 
     def run(self):
-        from ..native import marching_cubes
-
         voxels_target = self.ctx.get_task("Voxels").output()
         vfile = voxels_target.get(create=False).get_files()[0]
-        vols = io.read_npz(vfile)
-        key = list(vols.keys())[0]
-        vol = vols[key]
-        origin = np.array(vfile.get_metadata("origin"))
         voxel_size = float(vfile.get_metadata("voxel_size"))
 
-        from ..ops.edt import signed_distance
-        sd = np.asarray(signed_distance(vol, cap=8))
-        mesh = marching_cubes(sd, level=-float(self.level_set_value))
-        mesh.vertices = proc3d.index2point(mesh.vertices, origin, voxel_size)
+        if str(self.library) == "volume_mc":
+            # legacy path: marching cubes straight over the carved volume
+            # (no normals — inflates thin organs by ~a voxel per side)
+            from ..native import marching_cubes
+            from ..ops.edt import signed_distance
+            vols = io.read_npz(vfile)
+            vol = vols[list(vols.keys())[0]]
+            origin = np.array(vfile.get_metadata("origin"))
+            sd = np.asarray(signed_distance(vol, cap=8))
+            mesh = marching_cubes(sd, level=-float(self.level_set_value))
+            mesh.vertices = proc3d.index2point(mesh.vertices, origin,
+                                               voxel_size)
+        else:
+            # default: normal-aware IMLS over the oriented PointCloud —
+            # the reference's Poisson-over-oriented-points role
+            # (proc3d.py:67-89)
+            pcd = io.read_point_cloud(
+                self.input()[0].get(create=False).get_files()[0])
+            mesh = proc3d.pcd2mesh(pcd, voxel_size=voxel_size,
+                                   shrink=float(self.shrink))
 
         if str(self.filtering) == "most connected triangles":
             mesh = mesh.largest_connected_component()

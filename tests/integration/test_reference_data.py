@@ -122,11 +122,11 @@ def test_virtual_plant_mesh_and_skeleton_parity(virtual_db):
     s_gt = gt_mesh.sample_points_poisson_disk(20000)
     ch = chamfer_distance(s_gt, s_ours)
     sr = surface_ratio(mesh, gt_mesh)
-    # measured at 0.1 voxels: chamfer 0.50 (plant is ~23x23x120 units),
-    # surface ratio 3.5 (carved hulls are fatter than the true organs —
-    # tightening this is the pcd2mesh normals work)
-    assert ch < 1.0, ch
-    assert 0.8 < sr < 5.0, sr
+    # measured at 0.1 voxels with the normal-aware IMLS mesher + the
+    # config's acquisition-dilation shrink (round 3): chamfer 0.35,
+    # surface ratio 1.13 (was 0.50 / 3.5 with the occupancy-shell mesh)
+    assert ch < 0.5, ch
+    assert 0.7 < sr < 1.5, sr
 
     sk = json.loads(scan.get_fileset(
         _fileset_of(scan, report2, "RefineSkeleton")).get_files()[0].read_raw())
