@@ -117,7 +117,7 @@ def _assemble(vertex_data, face_idx):
         normals = np.stack([vertex_data[c] for c in ("nx", "ny", "nz")], axis=1).astype(np.float64)
     if names and all(c in names for c in ("red", "green", "blue")):
         colors = np.stack([vertex_data[c] for c in ("red", "green", "blue")], axis=1).astype(np.float64)
-        if colors.max() > 1.0:
+        if colors.size and colors.max() > 1.0:
             colors = colors / 255.0
     if face_idx is not None:
         return TriangleMesh(pts, face_idx, vertex_colors=colors)

@@ -50,7 +50,7 @@ DEFAULT_STD = {"f": 0.25, "dcx": 20.0, "dcy": 20.0, "dpan": 3.0,
 DEFAULT_FREE = ("f", "dpan", "dtilt", "roll", "mx", "my")
 
 
-def cnc_to_cameras(poses, theta, width, height, scale=1.0):
+def cnc_to_cameras(poses, theta, width, height, scale=1.0, droll=None):
     """Packed (V, 16) cameras [fx,fy,cx,cy,R(9),t(3)] from CNC poses.
 
     poses: (V, 5) float [X, Y, Z, pan_deg, tilt_deg] — the plant imager's
@@ -62,8 +62,10 @@ def cnc_to_cameras(poses, theta, width, height, scale=1.0):
     theta: (9,) calibration vector, see THETA_NAMES. Mount offsets
     (mx, my, mz) displace the optical center along the camera's local
     right/down/forward axes. `scale` rescales intrinsics to a
-    downsampled working resolution. Fully jax-traceable (vmap over theta
-    candidates, grad-capable).
+    downsampled working resolution. `droll` (V,) adds per-view roll
+    deltas on top of the global roll (gimbal wobble — the feature BA
+    can free them, sfmlite layout [.., droll_view]). Fully
+    jax-traceable (vmap over theta candidates, grad-capable).
     """
     poses = jnp.asarray(poses, jnp.float32)
     f, dcx, dcy, dpan, dtilt, roll, mx, my, mz = (theta[i] for i in range(9))
@@ -75,8 +77,10 @@ def cnc_to_cameras(poses, theta, width, height, scale=1.0):
     fwd = jnp.stack([cphi * ctau, sphi * ctau, stau], axis=1)
     right0 = jnp.stack([sphi, -cphi, zeros], axis=1)
     down0 = jnp.cross(fwd, right0)
-    rho = jnp.deg2rad(roll)
-    cr, sr = jnp.cos(rho), jnp.sin(rho)
+    rho = jnp.broadcast_to(jnp.deg2rad(roll), phi.shape)
+    if droll is not None:
+        rho = rho + jnp.deg2rad(jnp.asarray(droll, jnp.float32))
+    cr, sr = jnp.cos(rho)[:, None], jnp.sin(rho)[:, None]
     right = cr * right0 + sr * down0
     down = -sr * right0 + cr * down0
     C = poses[:, :3] + mx * right + my * down + mz * fwd
@@ -245,12 +249,14 @@ def _view_delta_coverage(pose_v, theta, jit_v, deltas, alive, sil_uv_v,
                          scale, shape, n_steps):
     """Coverage of ONE view's silhouette rays against a fixed hull, for a
     (G, 2) grid of (dpan, dtilt) adjustments on top of the view's
-    current jitter. Returns (G,) coverages."""
+    current jitter (jit_v = [dpan, dtilt, droll]; the roll delta rides
+    along unpolished). Returns (G,) coverages."""
 
     def one(delta):
         pose = pose_v[None, :].at[0, 3].add(jit_v[0] + delta[0])
         pose = pose.at[0, 4].add(jit_v[1] + delta[1])
-        cams = cnc_to_cameras(pose, theta, width, height, scale)
+        cams = cnc_to_cameras(pose, theta, width, height, scale,
+                              droll=jit_v[2:3])
         _, mean = _ray_coverage(cams, alive, sil_uv_v[None], sil_valid_v[None],
                                 origin, voxel_size, shape, n_steps)
         return mean
@@ -281,6 +287,10 @@ def refine_views_to_hull(masks, poses, theta, jitter, bbox, *,
         else np.zeros(V, np.float32)
     dtilt_v = np.array(jitter[1], np.float32) if jitter is not None \
         else np.zeros(V, np.float32)
+    # per-view roll from the feature BA is kept fixed during the polish
+    droll_v = (np.array(jitter[2], np.float32)
+               if jitter is not None and len(jitter) > 2
+               else np.zeros(V, np.float32))
     rng = np.random.default_rng(seed)
 
     k = int(downsample)
@@ -311,13 +321,15 @@ def refine_views_to_hull(masks, poses, theta, jitter, bbox, *,
         poses_adj[:, 3] += dpan_v
         poses_adj[:, 4] += dtilt_v
         cams = cnc_to_cameras(jnp.asarray(poses_adj), theta,
-                              W_full, H_full, 1.0 / k)
+                              W_full, H_full, 1.0 / k,
+                              droll=jnp.asarray(droll_v))
         alive = _robust_alive(cams, masks_flat, origin_np, jnp.float32(vs),
                               shape, Hl, Wl, jnp.int16(tol_kills))
         for v in range(V):
             cov = np.asarray(_view_delta_coverage(
                 jnp.asarray(poses[v]), theta,
-                jnp.asarray([dpan_v[v], dtilt_v[v]]), deltas, alive,
+                jnp.asarray([dpan_v[v], dtilt_v[v], droll_v[v]]), deltas,
+                alive,
                 sil_uv[v], sil_valid[v], origin_np, jnp.float32(vs),
                 jnp.float32(W_full), jnp.float32(H_full),
                 jnp.float32(1.0 / k), shape=shape, n_steps=steps))

@@ -150,24 +150,28 @@ def match_mutual(desc_a, desc_b, score_a, score_b, ratio: float = 0.95):
 # ----------------------------------------------------------------------
 
 
-#: BA parameter vector layout: [theta(9), k1, dpan_view(V), dtilt_view(V)]
+#: BA parameter vector layout:
+#: [theta(9), k1, dpan_view(V), dtilt_view(V), droll_view(V)]
 K1_IDX = 9
 N_GLOBAL = 10
+N_JITTER = 3      # per-view delta groups (dpan, dtilt, droll)
 
 
 def _cameras_from_params(p, poses, width, height):
-    """Global theta (9) + k1 + per-view (dpan_v, dtilt_v) -> packed
-    (V, 16) cameras (k1 is applied separately in the projection).
+    """Global theta (9) + k1 + per-view (dpan_v, dtilt_v, droll_v) ->
+    packed (V, 16) cameras (k1 is applied separately in the projection).
 
-    Per-view deltas ride on the pose table (pan/tilt columns), so
-    cnc_to_cameras stays the single extrinsic model.
+    Per-view pan/tilt deltas ride on the pose table columns and the roll
+    deltas go through cnc_to_cameras' droll argument, so cnc_to_cameras
+    stays the single extrinsic model.
     """
     V = poses.shape[0]
     theta = p[:9]
     dpan_v = p[N_GLOBAL:N_GLOBAL + V]
     dtilt_v = p[N_GLOBAL + V:N_GLOBAL + 2 * V]
+    droll_v = p[N_GLOBAL + 2 * V:N_GLOBAL + 3 * V]
     poses_adj = poses.at[:, 3].add(dpan_v).at[:, 4].add(dtilt_v)
-    return cnc_to_cameras(poses_adj, theta, width, height)
+    return cnc_to_cameras(poses_adj, theta, width, height, droll=droll_v)
 
 
 def _project_points(cams, X, k1=0.0):
@@ -397,15 +401,14 @@ def refine_turntable(matches, poses, theta0, width, height, *,
     obs_view_j = jnp.asarray(obs_view)
     obs_uv_j = jnp.asarray(obs_uv)
 
-    jit2 = (np.concatenate(jitter0).astype(np.float32) if jitter0 is not None
-            else np.zeros(2 * V, np.float32))
+    jit3 = _jitter_vector(jitter0, V)
     p = jnp.concatenate([jnp.asarray(theta0, jnp.float32),
                          jnp.asarray([k10], jnp.float32),
-                         jnp.asarray(jit2)])
+                         jnp.asarray(jit3)])
     p_prior = p
     names = list(THETA_NAMES) + ["k1"]
     glob = [names.index(n) for n in free]
-    jit_idx = list(range(N_GLOBAL, N_GLOBAL + 2 * V))
+    jit_idx = list(range(N_GLOBAL, N_GLOBAL + N_JITTER * V))
     # prior weights (px^2 per unit^2): focal free; angles and mount
     # offsets softly anchored to the silhouette-stage solution; k1 in
     # normalized-coordinate units (typical |k1| < 0.3)
@@ -419,8 +422,11 @@ def refine_turntable(matches, poses, theta0, width, height, *,
         if with_jitter:
             free_list += jit_idx
             # per-view deltas are anchored to 0: they absorb CNC
-            # jitter; the global dpan/dtilt carry the mount calibration
-            reg_list += [jitter_reg] * (2 * V)
+            # jitter; the global dpan/dtilt carry the mount calibration.
+            # Roll wobble is physically smaller than gimbal pan drift,
+            # so its prior is 4x stiffer.
+            reg_list += ([jitter_reg] * (2 * V)
+                         + [4.0 * jitter_reg] * V)
         return (jnp.asarray(free_list, jnp.int32),
                 jnp.asarray(reg_list, jnp.float32), len(free_list))
 
@@ -452,6 +458,7 @@ def refine_turntable(matches, poses, theta0, width, height, *,
         "k1": float(p[K1_IDX]),
         "dpan_view": np.asarray(p[N_GLOBAL:N_GLOBAL + V]),
         "dtilt_view": np.asarray(p[N_GLOBAL + V:N_GLOBAL + 2 * V]),
+        "droll_view": np.asarray(p[N_GLOBAL + 2 * V:N_GLOBAL + 3 * V]),
         "rms_px": float(rms),
         "n_matches": int(len(va)),
         "n_tracks": n_tracks,
@@ -489,9 +496,20 @@ def iterative_refine(gray, kp_masks, theta0, poses, width, height, *,
         ba = refine_turntable(matches, poses, theta, width, height,
                               gate_px=bgates, jitter0=jitter, k10=k1)
         theta = ba["theta_raw"]
-        jitter = (ba["dpan_view"], ba["dtilt_view"])
+        jitter = (ba["dpan_view"], ba["dtilt_view"], ba["droll_view"])
         k1 = ba["k1"]
     return ba
+
+
+def _jitter_vector(jitter0, V):
+    """Per-view delta groups -> flat (N_JITTER*V,) vector; accepts legacy
+    2-tuples (dpan, dtilt) by zero-filling the roll group."""
+    if jitter0 is None:
+        return np.zeros(N_JITTER * V, np.float32)
+    groups = list(jitter0)
+    while len(groups) < N_JITTER:
+        groups.append(np.zeros(V, np.float32))
+    return np.concatenate(groups).astype(np.float32)
 
 
 def cameras_from_refined(res, poses, width, height):
@@ -499,9 +517,11 @@ def cameras_from_refined(res, poses, width, height):
     poses_adj = np.asarray(poses, np.float32).copy()
     poses_adj[:, 3] += res["dpan_view"]
     poses_adj[:, 4] += res["dtilt_view"]
-    return np.asarray(cnc_to_cameras(jnp.asarray(poses_adj),
-                                     jnp.asarray(res["theta_raw"]),
-                                     float(width), float(height)))
+    droll = res.get("droll_view")
+    return np.asarray(cnc_to_cameras(
+        jnp.asarray(poses_adj), jnp.asarray(res["theta_raw"]),
+        float(width), float(height),
+        droll=None if droll is None else jnp.asarray(droll)))
 
 
 # ----------------------------------------------------------------------
@@ -597,11 +617,9 @@ def _gate_matches(out, theta0, jitter0, poses, V, width, height, gate_px,
                   k10=0.0):
     """Geometric pre-gate in ONE batched call (per-pair calls would
     re-trace for every distinct match count)."""
-    jit2 = (np.concatenate(jitter0).astype(np.float32) if jitter0 is not None
-            else np.zeros(2 * V, np.float32))
     p0 = jnp.concatenate([jnp.asarray(theta0, jnp.float32),
                           jnp.asarray([k10], jnp.float32),
-                          jnp.asarray(jit2)])
+                          jnp.asarray(_jitter_vector(jitter0, V))])
     r = np.asarray(_residuals(
         p0, jnp.asarray(poses, jnp.float32), jnp.asarray(out["va"]),
         jnp.asarray(out["vb"]), jnp.asarray(out["ua"]),

@@ -182,25 +182,32 @@ class TurntableCalibration(RomiTask):
                                "keeping silhouette cameras")
 
         theta_raw = ba["theta_raw"] if ba is not None else res["theta_raw"]
-        jitter = ((ba["dpan_view"], ba["dtilt_view"])
+        jitter = ((ba["dpan_view"], ba["dtilt_view"],
+                   ba.get("droll_view", np.zeros(len(poses), np.float32)))
                   if ba is not None else None)
         k1 = float(ba["k1"]) if ba is not None else 0.0
 
         # per-view silhouette polish against the robust hull: mops up
         # residual gimbal jitter the feature BA leaves on texture-poor
-        # views (directly optimizes what space carving needs)
+        # views (directly optimizes what space carving needs); the BA's
+        # per-view roll rides along unpolished
         if int(self.polish_rounds) > 0:
             dpan_v, dtilt_v, _ = selfcal.refine_views_to_hull(
                 masks, poses, theta_raw, jitter, bbox,
                 rounds=int(self.polish_rounds), seed=int(self.seed))
-            jitter = (dpan_v, dtilt_v)
+            droll_v = (jitter[2] if jitter is not None
+                       else np.zeros(len(poses), np.float32))
+            jitter = (dpan_v, dtilt_v, droll_v)
 
         poses_adj = poses.copy()
+        droll = None
         if jitter is not None:
             poses_adj[:, 3] += jitter[0]
             poses_adj[:, 4] += jitter[1]
+            droll = jnp_arr(np.asarray(jitter[2], np.float32))
         cams = np.asarray(selfcal.cnc_to_cameras(
-            jnp_arr(poses_adj), jnp_arr(theta_raw), float(W), float(H)))
+            jnp_arr(poses_adj), jnp_arr(theta_raw), float(W), float(H),
+            droll=droll))
         theta = {**{n: float(theta_raw[i]) for i, n in
                     enumerate(selfcal.THETA_NAMES)}, "k1": k1}
 
@@ -254,6 +261,8 @@ class TurntableCalibration(RomiTask):
                 "n_tracks": ba["n_tracks"]},
             "dpan_view": None if jitter is None else jitter[0].tolist(),
             "dtilt_view": None if jitter is None else jitter[1].tolist(),
+            "droll_view": None if jitter is None
+            else np.asarray(jitter[2]).tolist(),
         })
         outfs.set_metadata("bounding_box", hull_bbox or bbox)
 

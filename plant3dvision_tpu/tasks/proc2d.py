@@ -225,7 +225,15 @@ class Segmentation2D(Masks):
                 if self.single_label and label != self.single_label:
                     continue
                 pred = probs[i, c]
-                if label in list(self.inverted_labels):
+                # inverted labels (background) are thresholded in the
+                # INVERTED space and re-inverted before writing, exactly
+                # like the reference (tasks/proc2d.py:366-378): the
+                # written background PNG is true background = NOT
+                # dilate(plantness > threshold) — so the averaging
+                # volume's background channel counts empty-space
+                # evidence, not plant evidence
+                inverted = label in list(self.inverted_labels)
+                if inverted:
                     pred = 1.0 - pred
                 if bool(self.binarize):
                     m = pred > float(self.threshold)
@@ -233,6 +241,8 @@ class Segmentation2D(Masks):
                         m = np.asarray(binary_dilation(jnp.asarray(m),
                                                        int(self.dilation)))
                     pred = m.astype(np.float32)
+                if inverted:
+                    pred = 1.0 - pred
                 fout = outfs.get_file(f"{fin.id}_{label}", create=True)
                 io.write_image(fout, (pred * 255).astype(np.uint8), "png")
                 md = fin.get_metadata()

@@ -62,18 +62,26 @@ class PointCloud(RomiTask):
         for i, l in enumerate(labels):
             if l == "background":
                 stack[..., i] *= float(self.background_prior)
-        res_idx = np.argmax(stack, axis=-1)
+        # ties (e.g. an organ voxel whose 'background' channel — the
+        # INVERTED plant mask — scores identically) must go to the organ,
+        # not to background, whatever the label order
+        order_bias = np.array([1e-9 * (l != "background") for l in labels])
+        res_idx = np.argmax(stack + order_bias, axis=-1)
 
         pcd = PCD()
         point_labels = []
         for i, l in enumerate(labels):
             if l == "background":
                 continue
-            pred_c = (res_idx == i).astype(np.float64)
+            # per-label SCORE volume where this label wins the argmax
+            # (reference tasks/proc3d.py:80-129 keeps the scores so
+            # min_contrast/min_score filter on evidence, not membership)
+            score_i = stack[..., i]
+            pred_c = np.where(res_idx == i, score_i, 0.0)
             if float(self.min_contrast) > 1.0:
                 others = np.max(np.delete(stack, i, axis=-1), axis=-1)
-                pred_c = pred_c * (pred_c > float(self.min_contrast) * others)
-            pred_c = pred_c * (pred_c > float(self.min_score))
+                pred_c = pred_c * (score_i > float(self.min_contrast) * others)
+            pred_c = (pred_c > float(self.min_score)).astype(np.float64)
             out = proc3d.vol2pcd(pred_c, origin, voxel_size,
                                  float(self.level_set_value))
             if len(out) == 0:
