@@ -116,14 +116,9 @@ def run_reference_fixtures():
 
     with TemporaryDB() as db:
         fixtures.load_reference_scan(db, "real_plant")
+        # the committed config IS the measured-best recipe (voxel 0.5 +
+        # vote carving; round 3: 23/29 organs, ncost 0.125, 16.4 deg)
         cfg = load_toml(repo / "configs" / "geom_pipe_real_selfcal.toml")
-        # the COLMAP-free route at reduced voxel budget + vote carving
-        cfg["Voxels"].update({"voxel_size": 1.0, "kill_tolerance": 3})
-        cfg["Masks"]["dilation"] = 3
-        cfg["PointCloud"]["level_set_value"] = 2.0
-        cfg["CurveSkeleton"]["bin_size"] = 6.0
-        cfg["AnglesAndInternodes"].update({"node_sampling_dist": 20.0,
-                                           "min_fruit_size": 10.0})
         cfg["Undistorted"] = {"upstream_task": "ImagesFilesetExists"}
         cfg["Masks"]["upstream_task"] = "ImagesFilesetExists"
         cfg["Masks"]["upstream_pose"] = "TurntableCalibration"

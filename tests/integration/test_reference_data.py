@@ -168,7 +168,7 @@ def test_real_plant_colmap_free_pipeline_dtw():
         "Voxels": {"upstream_mask": "Masks",
                    "upstream_colmap": "TurntableCalibration",
                    "camera_metadata": "colmap_camera",
-                   "voxel_size": 1.0, "type": "carving",
+                   "voxel_size": 0.5, "type": "carving",
                    "kill_tolerance": 3,
                    "bounding_box": {"x": [300, 450], "y": [300, 450],
                                     "z": [-175, 105]}},
@@ -202,11 +202,14 @@ def test_real_plant_colmap_free_pipeline_dtw():
         efs = ctx.scan.get_fileset(
             report["AnglesAndInternodesEvaluation"]["fileset"])
         ev = json.loads(efs.get_files()[0].read_raw())
-        # guards at measured quality (ncost 0.128 / 19.9 deg mean angle
-        # error / 24 organs of the 29 measured) with regression headroom
-        assert ev["normalized_cost"] < 0.25, ev
-        assert ev["mean_angle_error"] < 35.0, ev
-        assert 14 <= len(out["angles"]) <= 40
+        # round-3 guards (VERDICT r2 #4): per-view roll in the BA +
+        # 0.5 mm vote carving measured 23/29 organs, ncost 0.125,
+        # 16.4 deg mean angle error at FULL calibration budget; this
+        # test's reduced budget (cem_pop 32, downsample 2) measured
+        # ncost 0.15 / 27.6 deg — guards between the two
+        assert ev["normalized_cost"] < 0.18, ev
+        assert ev["mean_angle_error"] < 30.0, ev
+        assert 18 <= len(out["angles"]) <= 32
 
         # calibration QC artifacts exist and are sane
         cfs = ctx.scan.get_fileset(
