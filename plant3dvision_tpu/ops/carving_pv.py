@@ -122,10 +122,12 @@ def _top_dense(cams, valid, pmax, pmin, level_off, level_w, origin,
 
 @functools.partial(jax.jit, static_argnames=("cap", "capt", "factor",
                                              "cell_vox", "H", "W",
-                                             "n_levels", "n_words", "V"))
+                                             "n_levels", "n_words", "V",
+                                             "chunk"))
 def _refine_pairs(status_prev, bits_prev, hit_prev, cams, valid, pmax,
                   pmin, masks_packed, level_off, level_w, origin, voxel_size,
-                  cap, capt, factor, cell_vox, H, W, n_levels, n_words, V):
+                  cap, capt, factor, cell_vox, H, W, n_levels, n_words, V,
+                  chunk=_CHUNK):
     """One refinement level over the flat (parent, view) straddle-pair list.
 
     status_prev: dense (gx,gy,gz) int8; bits_prev: (n_words, prod(grid));
@@ -171,11 +173,11 @@ def _refine_pairs(status_prev, bits_prev, hit_prev, cams, valid, pmax,
     pmin_flat = pmin.reshape(-1)
     masks_flat = masks_packed.reshape(-1)
 
-    n_chunks = capt // _CHUNK
+    n_chunks = capt // chunk
 
     def chunk_body(carry, xs):
         any_kill, any_hit, any_undec, bits_acc = carry
-        cp, cv, cok = xs                                # (_CHUNK,) each
+        cp, cv, cok = xs                                # (chunk,) each
         cam = cams[cv]                                  # (_CHUNK, 16)
         par = parents[cp]                               # (_CHUNK, 3)
         children = par[:, None, :] * factor + offs_j[None, :, :]  # (C, f3, 3)
@@ -188,9 +190,9 @@ def _refine_pairs(status_prev, bits_prev, hit_prev, cams, valid, pmax,
             pts = (origin[None, None, None, :]
                    + (children[:, :, None, :] + _CUBE_OFFS_F[None, None, :, :])
                    * s_world)                            # (C, f3, 8, 3)
-            pts = pts.reshape(_CHUNK, f3 * 8, 3)
+            pts = pts.reshape(chunk, f3 * 8, 3)
             p = jnp.einsum("cij,ckj->cki", R, pts) + t[:, None, :]
-            p = p.reshape(_CHUNK, f3, 8, 3)
+            p = p.reshape(chunk, f3, 8, 3)
             pz = p[..., 2]
             behind = jnp.any(pz <= _EPS_Z, axis=-1)      # (C, f3)
             pzs = jnp.maximum(pz, _EPS_Z)
@@ -208,7 +210,7 @@ def _refine_pairs(status_prev, bits_prev, hit_prev, cams, valid, pmax,
 
             def q(flat, idx):
                 return jnp.take(flat, (idx + voff).reshape(-1),
-                                axis=0).reshape(_CHUNK, f3)
+                                axis=0).reshape(chunk, f3)
 
             vmax = jnp.maximum(jnp.maximum(q(pmax_flat, i00), q(pmax_flat, i01)),
                                jnp.maximum(q(pmax_flat, i10), q(pmax_flat, i11)))
@@ -228,7 +230,7 @@ def _refine_pairs(status_prev, bits_prev, hit_prev, cams, valid, pmax,
             lin = jnp.clip(py, 0, H - 1) * W + jnp.clip(px, 0, W - 1)
             # packed lookup with per-pair view offset (byte units)
             byte_idx = (jnp.right_shift(lin, 3) + (cv * B)[:, None]).reshape(-1)
-            byte = jnp.take(masks_flat, byte_idx, axis=0).reshape(_CHUNK, f3)
+            byte = jnp.take(masks_flat, byte_idx, axis=0).reshape(chunk, f3)
             bit = (7 - (lin & 7)).astype(jnp.uint8)
             m = ((byte >> bit) & 1) != 0
             kill = in_img & ~m
@@ -261,8 +263,8 @@ def _refine_pairs(status_prev, bits_prev, hit_prev, cams, valid, pmax,
                  else jnp.zeros((n_words, 1), jnp.uint32))
     init = (jnp.zeros(N + 1, bool), jnp.pad(child_hit0, (0, 1)),
             jnp.zeros(N + 1, bool), bits_acc0)
-    xs = (pair_p.reshape(n_chunks, _CHUNK), pair_v.reshape(n_chunks, _CHUNK),
-          pair_ok.reshape(n_chunks, _CHUNK))
+    xs = (pair_p.reshape(n_chunks, chunk), pair_v.reshape(n_chunks, chunk),
+          pair_ok.reshape(n_chunks, chunk))
     (any_kill, any_hit, any_undec, bits_acc), _ = jax.lax.scan(
         chunk_body, init, xs)
     any_kill = any_kill[:N]

@@ -46,7 +46,7 @@ def _plan(start_level: int):
 def make_fused_pair_carver(H: int, W: int, shape, start_level: int = 4,
                            pyramid_levels: int = 8, cell_caps=None,
                            pair_caps=None, packed_output=False,
-                           n_words: int = 2):
+                           n_words: int = 2, chunk: int = 65536):
     """Build the jitted fused pair-compacted carver for a fixed geometry.
 
     Returns fn(packed (V, B), cams (V, 16), valid (V,), origin (3,),
@@ -60,7 +60,7 @@ def make_fused_pair_carver(H: int, W: int, shape, start_level: int = 4,
         cell_caps = tuple(4096 << (2 * i) for i in range(L))
     if pair_caps is None:
         pair_caps = tuple(8 * c for c in cell_caps)
-    pair_caps = tuple(-(-c // _CHUNK) * _CHUNK for c in pair_caps)
+    pair_caps = tuple(-(-c // chunk) * chunk for c in pair_caps)
     assert len(cell_caps) == L and len(pair_caps) == L
     m = 1 << start_level
     nx, ny, nz = shape
@@ -86,7 +86,7 @@ def make_fused_pair_carver(H: int, W: int, shape, start_level: int = 4,
                 status, bits, hit, cams, valid, pmax, pmin, packed,
                 level_off, level_w, origin_j, vs, cell_caps[li],
                 pair_caps[li], factor, cell_vox, H, W, n_levels,
-                n_words, V)
+                n_words, V, chunk=min(chunk, pair_caps[li]))
 
         vol = status[:nx, :ny, :nz]
         counts = (jnp.stack(cell_counts), jnp.stack(pair_counts))
@@ -112,7 +112,8 @@ def _next_cap(n: int, base: int = 4096) -> int:
 
 def carve_fused_pairs(masks, cameras, valid, origin, voxel_size, shape,
                       start_level: int = 4, packed=None, hw=None,
-                      out="int8", cell_caps=None, pair_caps=None):
+                      out="int8", cell_caps=None, pair_caps=None,
+                      chunk: int = 65536):
     """One-shot fused pair-compacted carve with automatic cap retry.
 
     Drop-in for carving_mp.carve_fused (same bit-exact semantics)."""
@@ -136,7 +137,7 @@ def carve_fused_pairs(masks, cameras, valid, origin, voxel_size, shape,
         fn = make_fused_pair_carver(
             H, W, tuple(shape), start_level=start_level,
             cell_caps=tuple(cell_caps), pair_caps=tuple(pair_caps),
-            packed_output=(out == "alive"), n_words=n_words)
+            packed_output=(out == "alive"), n_words=n_words, chunk=chunk)
         vol, ccnt, pcnt = fn(packed, cameras, valid_j, origin_j,
                              jnp.float32(voxel_size))
         ccnt = np.asarray(ccnt)
@@ -150,5 +151,5 @@ def carve_fused_pairs(masks, cameras, valid, origin, voxel_size, shape,
             return np.asarray(vol)
         cell_caps = [_next_cap(int(n)) if n > c else c
                      for c, n in zip(cell_caps, ccnt)]
-        pair_caps = [_next_cap(int(n), base=_CHUNK) if n > c else c
+        pair_caps = [_next_cap(int(n), base=chunk) if n > c else c
                      for c, n in zip(pair_caps, pcnt)]

@@ -47,10 +47,21 @@ class FusedCarving(RomiTask):
             raise ValueError("Could not obtain a valid bounding-box")
         return bbox
 
+    #: carve engine: "fp" = fused pair-compacted (one jitted program,
+    #: parallel/carving_fp.py), "pv" = per-view incidence pairs with
+    #: host-sized caps (ops/carving_pv.py)
+    engine = Parameter(default="fp", significant=False)
+    #: decode/upload chunk: image decode+threshold+pack of chunk i+1
+    #: overlaps the (async) device_put of chunk i
+    chunk_views = Parameter(default=32, significant=False)
+
     def run(self):
         from concurrent.futures import ThreadPoolExecutor
+
+        import jax
+        import jax.numpy as jnp
+
         from ..ops.carving import camera_from_metadata
-        from ..ops.carving_pv import PerViewCarver
         from ..ops.masks import compute_mask_numpy
 
         images_fs = self.input()[0].get(create=False) if isinstance(
@@ -86,13 +97,22 @@ class FusedCarving(RomiTask):
             shape_hw["hw"] = m.shape
             return np.packbits(m.reshape(-1)), camera_from_metadata(cam)
 
+        # chunked decode -> ASYNC device upload: device_put returns
+        # immediately, so chunk i's host->device transfer rides under
+        # chunk i+1's decode/threshold/pack (VERDICT r2 #4: ingest was
+        # ~half of FusedCarving's wall time, fully serial)
+        chunk = max(int(self.chunk_views), 1)
+        parts, cams_l = [], []
         with ThreadPoolExecutor(max_workers=8) as ex:
-            results = list(ex.map(_load_pack, selected))
-        packed = np.stack([r[0] for r in results])
-        cams = np.stack([r[1] for r in results])
-        valid = np.ones(len(packed), bool)
+            for i in range(0, len(selected), chunk):
+                batch = list(ex.map(_load_pack, selected[i:i + chunk]))
+                parts.append(jax.device_put(np.stack([b[0] for b in batch])))
+                cams_l += [b[1] for b in batch]
+        packed_dev = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        cams = np.stack(cams_l)
+        valid = np.ones(len(cams), bool)
         H, W = shape_hw["hw"]
-        logger.info(f"FusedCarving: {len(packed)} views at {W}x{H}")
+        logger.info(f"FusedCarving: {len(cams)} views at {W}x{H}")
 
         bbox = self._resolve_bounding_box()
         vs = float(self.voxel_size)
@@ -102,9 +122,15 @@ class FusedCarving(RomiTask):
         origin = np.array([x_min, y_min, z_min])  # float64 for metadata parity
         logger.info(f"FusedCarving: grid {shape} at {vs} mm")
 
-        carver = PerViewCarver((len(packed), H, W), cams, valid,
-                               packed=packed)
-        vol = carver.carve(origin, vs, shape)
+        if str(self.engine) == "pv":
+            from ..ops.carving_pv import PerViewCarver
+            carver = PerViewCarver((len(cams), H, W), cams, valid,
+                                   packed=packed_dev)
+            vol = carver.carve(origin, vs, shape)
+        else:
+            from ..parallel.carving_fp import carve_fused_pairs
+            vol = carve_fused_pairs(None, cams, valid, origin, vs, shape,
+                                    packed=packed_dev, hw=(H, W))
 
         outfile = self.output_file()
         io.write_volume(outfile, vol.astype(np.int32))

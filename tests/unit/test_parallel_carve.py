@@ -85,3 +85,29 @@ def test_fused_packed_alive_output():
     full = carve_fused(masks, cams, valid, origin, 0.5, shape)
     alive = carve_fused(masks, cams, valid, origin, 0.5, shape, out="alive")
     np.testing.assert_array_equal(alive, full == 1)
+
+
+def test_fused_pairs_matches_dense():
+    """The fused PAIR-COMPACTED carve (parallel/carving_fp.py: one jitted
+    program, static cell+pair caps, factor-2 cascade) is bit-identical to
+    the dense carve at several start levels, incl. packed-alive output
+    and the cap-overflow retry path."""
+    from plant3dvision_tpu.parallel.carving_fp import carve_fused_pairs
+    masks, cams = _synthetic_views(n_views=10, H=96, W=160, radius=5.0,
+                                   dist_cam=30.0)
+    valid = np.ones(10, bool)
+    origin = np.array([-9.0, -7.0, -25.0], np.float32)
+    shape = (37, 29, 53)
+    d = _dense(masks, cams, valid, origin, 0.5, shape)
+    for sl in (3, 4):
+        f = carve_fused_pairs(masks, cams, valid, origin, 0.5, shape,
+                              start_level=sl)
+        np.testing.assert_array_equal(d, f)
+    # tiny caps force the overflow-retry loop
+    f = carve_fused_pairs(masks, cams, valid, origin, 0.5, shape,
+                          start_level=3, cell_caps=(4, 4, 4),
+                          pair_caps=(8192, 8192, 8192))
+    np.testing.assert_array_equal(d, f)
+    alive = carve_fused_pairs(masks, cams, valid, origin, 0.5, shape,
+                              start_level=4, out="alive")
+    np.testing.assert_array_equal(alive, d == 1)
