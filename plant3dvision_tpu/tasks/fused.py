@@ -47,10 +47,13 @@ class FusedCarving(RomiTask):
             raise ValueError("Could not obtain a valid bounding-box")
         return bbox
 
-    #: carve engine: "fp" = fused pair-compacted (one jitted program,
-    #: parallel/carving_fp.py), "pv" = per-view incidence pairs with
-    #: host-sized caps (ops/carving_pv.py)
-    engine = Parameter(default="fp", significant=False)
+    #: carve engine: "pv" = per-view incidence pairs with host-sized
+    #: caps (ops/carving_pv.py — the production default; its three
+    #: programs compile in minutes), "fp" = fused pair-compacted
+    #: single-program engine (parallel/carving_fp.py — bit-exact and
+    #: faster on paper, but its one large program hits a remote-compile
+    #: pathology on this TPU toolchain; opt-in until that is resolved)
+    engine = Parameter(default="pv", significant=False)
     #: decode/upload chunk: image decode+threshold+pack of chunk i+1
     #: overlaps the (async) device_put of chunk i
     chunk_views = Parameter(default=32, significant=False)

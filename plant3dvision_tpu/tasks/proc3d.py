@@ -309,6 +309,9 @@ class SegmentedPointCloud(RomiTask):
         outfile = self.output_file()
         io.write_point_cloud(outfile, pcd)
         outfile.set_metadata({"labels": point_labels})
+        vs = pcd_fs.get_files()[0].get_metadata("voxel_size")
+        if vs is not None:
+            outfile.set_metadata("voxel_size", vs)
 
 
 class ClusteredMesh(RomiTask):
@@ -318,26 +321,33 @@ class ClusteredMesh(RomiTask):
     upstream_task = Parameter(default="SegmentedPointCloud")
     min_vol = Parameter(default=1.0)
     min_length = Parameter(default=10.0)
+    #: meshing resolution; empty = the upstream point cloud's own
+    #: voxel_size metadata (a hardcoded 1.0 was ~7x too coarse for the
+    #: reference's virtual fixture scale)
+    voxel_size = Parameter(default="")
 
     def run(self):
         from .. import proc3d as p3d
-        from ..native import marching_cubes
-        from ..ops.edt import signed_distance
+        from ..fsdb.geometry import PointCloud as PCD2
 
         infile = self.input_file()
         pcd = io.read_point_cloud(infile)
         labels = np.asarray(infile.get_metadata("labels"))
+        vs = (float(self.voxel_size) if str(self.voxel_size)
+              else float(infile.get_metadata("voxel_size") or 1.0))
+        has_normals = (getattr(pcd, "normals", None) is not None
+                       and len(pcd.normals) == len(pcd.points))
         outfs = self.output().get()
         for label in sorted(set(labels.tolist())):
-            pts = pcd.points[labels == label]
+            sel = labels == label
+            pts = pcd.points[sel]
             if len(pts) < 20:
                 continue
-            vol, origin = p3d.pcd2vol(pts, voxel_size=1.0, zero_padding=4)
-            sd = np.asarray(signed_distance((vol > 0).astype(np.float32), cap=6))
-            mesh = marching_cubes(sd, level=0.0)
+            organ = (PCD2(pts, pcd.normals[sel]) if has_normals
+                     else PCD2(pts))
+            mesh = p3d.pcd2mesh(organ, voxel_size=vs)
             if len(mesh.triangles) == 0:
                 continue
-            mesh.vertices = p3d.index2point(mesh.vertices, origin, 1.0)
             tlabel, counts = mesh.connected_components()
             for cc_id in range(len(counts)):
                 if counts[cc_id] < 10:
