@@ -78,14 +78,20 @@ def main():
     cams_j = jnp.asarray(cams)
     valid_j = jnp.asarray(np.ones(V, bool))
     origin_j = jnp.asarray(origin, jnp.float32)
+    # fine_tiles: the exact level fetches 32x32-px bit tiles with row
+    # gathers (~10x the bytes/s of flat gathers on this device) and
+    # picks each voxel's bit with an in-register select tree; the
+    # dilated pyramids make the coarse box test a single tap.  Both are
+    # bit-exact vs the byte-gather engine (tests/unit/test_parallel_carve).
     fn = make_fused_carver(H, W, tuple(shape), caps=(8192, 16384),
-                           packed_output=True)
+                           packed_output=True, fine_tiles=True)
 
     def run_once():
         out, counts = fn(packed, cams_j, valid_j, origin_j,
                          jnp.float32(voxel_size))
         counts = np.asarray(counts)
-        assert (counts <= np.asarray([8192, 16384])).all(), counts
+        assert (counts[:2] <= np.asarray([8192, 16384])).all(), counts
+        assert counts[-1] == 0, f"tile-window overflow: {counts}"
         return np.unpackbits(np.asarray(out))
 
     bits = run_once()   # warmup/compile

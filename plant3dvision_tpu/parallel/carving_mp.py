@@ -30,7 +30,27 @@ from ..ops.carving_hier import (ALIVE, KILLED, UNDECIDED, UNSEEN,
 from ..ops.carving_pv import _box_cover
 
 
+def _dilate2x2(x, neutral):
+    """max/min over the (y..y+1, x..x+1) window per cell (edge-padded
+    with the reduction's neutral element)."""
+    V, h, w = x.shape
+    xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1)), constant_values=neutral)
+    op = jnp.maximum if neutral == 0 else jnp.minimum
+    return op(op(xp[:, :h, :w], xp[:, :h, 1:w + 1]),
+              op(xp[:, 1:h + 1, :w], xp[:, 1:h + 1, 1:w + 1]))
+
+
 def _build_local_pyramids(packed, H, W, n_levels):
+    """DILATED 2x2 min/max mask pyramids: level-l entry (y, x) holds the
+    reduction over cells (y..y+1, x..x+1) at that level.  `_box_cover`
+    picks the level so a projected box spans <= 2 cells per axis, so ONE
+    tap at (cy0, cx0) covers the whole box — replacing the 4-tap fetch
+    (4 random gathers per cell-view test, the dominant carve cost at
+    ~84M lookups/s on a v5e).  Dilation only ever widens the window
+    (when a box fits in a single cell row/column), i.e. the box test is
+    conservative: fewer coarse kills/hits, never a wrong one — the
+    exact fine level resolves the extra undecided cells, so the FINAL
+    volume is bit-identical (guarded by tests/unit/test_parallel_carve)."""
     V = packed.shape[0]
     Hp, Wp, level_shapes, _, _ = _pyramid_shapes(H, W, n_levels)
     base = unpack_masks_device(packed, H, W)
@@ -42,8 +62,8 @@ def _build_local_pyramids(packed, H, W, n_levels):
     cur_max, cur_min = base_max, base_min
     for l in range(n_levels + 1):
         h, w = level_shapes[l]
-        outs_max.append(cur_max.reshape(V, h * w))
-        outs_min.append(cur_min.reshape(V, h * w))
+        outs_max.append(_dilate2x2(cur_max, 0).reshape(V, h * w))
+        outs_min.append(_dilate2x2(cur_min, 1).reshape(V, h * w))
         if l < n_levels:
             cur_max = cur_max.reshape(V, h // 2, 2, w // 2, 2).max(axis=(2, 4))
             cur_min = cur_min.reshape(V, h // 2, 2, w // 2, 2).min(axis=(2, 4))
@@ -71,16 +91,12 @@ def _classify_local(cells_f, cams, valid, pmax, pmin, level_off, level_w,
                | (pymin >= H)) & ~behind
         fin = ((pxmin >= 0.0) & (pxmax < W) & (pymin >= 0.0)
                & (pymax < H) & ~behind)
-        i00, i01, i10, i11 = _box_cover(pxmin, pxmax, pymin, pymax, H, W,
-                                        n_levels, level_off, level_w)
-        vmax = jnp.maximum(jnp.maximum(jnp.take(pmax_v, i00),
-                                       jnp.take(pmax_v, i01)),
-                           jnp.maximum(jnp.take(pmax_v, i10),
-                                       jnp.take(pmax_v, i11)))
-        vmin = jnp.minimum(jnp.minimum(jnp.take(pmin_v, i00),
-                                       jnp.take(pmin_v, i01)),
-                           jnp.minimum(jnp.take(pmin_v, i10),
-                                       jnp.take(pmin_v, i11)))
+        # dilated pyramids: the single (cy0, cx0) tap covers the whole
+        # 2x2 box cover (see _build_local_pyramids)
+        i00, _, _, _ = _box_cover(pxmin, pxmax, pymin, pymax, H, W,
+                                  n_levels, level_off, level_w)
+        vmax = jnp.take(pmax_v, i00)
+        vmin = jnp.take(pmin_v, i00)
         return fin & (vmax == 0), fin & (vmin > 0), out
 
     # lax.map (not vmap): per-view temporaries are O(M) — a vmap over
@@ -93,6 +109,213 @@ def _classify_local(cells_f, cams, valid, pmax, pmin, level_off, level_w,
     no_eff = out | ~valid[:, None]
     undec = ~kill & ~hit & ~no_eff
     return kill, hit, undec
+
+
+def _topk_slots(cand, K):
+    """Per-parent view compaction of the straddle matrix.
+
+    A refinement-level child only needs testing against the views that
+    STRADDLE its parent cell (typically 2-6 of 60 — the same fact the
+    pair-compacted engine exploits, docs/CARVE_CEILING.md) — but instead
+    of a dense `nonzero` over the full status volume (the fp engine's
+    overhead), this compacts per-parent with one `top_k` over the
+    (P, V) straddle matrix the fused carve already carries.
+
+    cand: (V, P) bool  ->  (vsel (P, K) int32 view ids, vvalid (P, K)
+    bool, smax scalar int32 = max straddling views over parents).
+    Exactness: callers must check smax <= K and re-jit with a bigger K
+    otherwise (same contract as the undecided-cell caps).
+    """
+    candT = cand.T.astype(jnp.int32)            # (P, V)
+    smax = jnp.max(jnp.sum(candT, axis=1)).astype(jnp.int32)
+    vals, vsel = jax.lax.top_k(candT, K)        # ties -> lowest view idx
+    return vsel, vals > 0, smax
+
+
+def _classify_slots(corners_p, vsel, vvalid, cams, pmax_flat, pmin_flat,
+                    Lflat, level_off, level_w, H, W, n_levels):
+    """Slot-compacted box classification: each parent's children are
+    tested only against the parent's (<= K) straddling views.
+
+    corners_p: (P, f3, 8, 3) world-space child-cell corners.
+    Returns (kill, hit, undec) each (P, f3) = OR over slots, plus the
+    per-slot undec (K, P, f3) for the next level's straddle carry.
+    Same box test as `_classify_local`, with per-parent cameras.
+    """
+    P_, f3 = corners_p.shape[0], corners_p.shape[1]
+    corners_flat = corners_p.reshape(P_, f3 * 8, 3)
+
+    def one_slot(xs):
+        vk, okk = xs                             # (P,), (P,)
+        cam = jnp.take(cams, vk, axis=0)         # (P, 16)
+        R = cam[:, 4:13].reshape(P_, 3, 3)
+        t = cam[:, 13:16]
+        p = jnp.einsum("pcj,pij->pci", corners_flat, R) + t[:, None, :]
+        pz = p[..., 2].reshape(P_, f3, 8)
+        behind = jnp.any(pz <= _EPS_Z, axis=2)
+        pzs = jnp.maximum(pz, _EPS_Z)
+        px = (p[..., 0].reshape(P_, f3, 8) / pzs * cam[:, 0, None, None]
+              + cam[:, 2, None, None])
+        py = (p[..., 1].reshape(P_, f3, 8) / pzs * cam[:, 1, None, None]
+              + cam[:, 3, None, None])
+        pxmin = px.min(2); pxmax = px.max(2)
+        pymin = py.min(2); pymax = py.max(2)
+        out = ((pxmax <= -1.0) | (pxmin >= W) | (pymax <= -1.0)
+               | (pymin >= H)) & ~behind
+        fin = ((pxmin >= 0.0) & (pxmax < W) & (pymin >= 0.0)
+               & (pymax < H) & ~behind)
+        i00, _, _, _ = _box_cover(pxmin, pxmax, pymin, pymax, H, W,
+                                  n_levels, level_off, level_w)
+        base = vk[:, None] * Lflat
+        vmax = jnp.take(pmax_flat, base + i00)
+        vmin = jnp.take(pmin_flat, base + i00)
+        kill = fin & (vmax == 0)
+        hit = fin & (vmin > 0)
+        undec = ~kill & ~hit & ~out
+        okm = okk[:, None]
+        return kill & okm, hit & okm, undec & okm
+
+    kill_s, hit_s, und_s = jax.lax.map(one_slot, (vsel.T, vvalid.T))
+    return kill_s.any(0), hit_s.any(0), und_s.any(0), und_s
+
+
+def _exact_slots(pts_p, vsel, vvalid, cams, packed_flat, B, H, W):
+    """Slot-compacted exact-pixel test (the fine carve level).
+
+    pts_p: (P, f3, 3) voxel centers.  Same single-pixel semantics as
+    `_exact_local` — a view only contributes where it straddles the
+    parent, which is exactly the dense path's `& cand_c` masking.
+    Returns (kill, hit) each (P, f3) = OR over slots.
+    """
+    P_, f3 = pts_p.shape[0], pts_p.shape[1]
+
+    def one_slot(xs):
+        vk, okk = xs
+        cam = jnp.take(cams, vk, axis=0)
+        R = cam[:, 4:13].reshape(P_, 3, 3)
+        t = cam[:, 13:16]
+        p = jnp.einsum("pcj,pij->pci", pts_p, R) + t[:, None, :]
+        pz = p[..., 2]
+        px = (p[..., 0] / pz * cam[:, 0, None] + cam[:, 2, None]).astype(jnp.int32)
+        py = (p[..., 1] / pz * cam[:, 1, None] + cam[:, 3, None]).astype(jnp.int32)
+        in_img = (pz > 0) & (px >= 0) & (px <= W - 1) & (py >= 0) & (py <= H - 1)
+        in_img = in_img & okk[:, None]
+        lin = jnp.clip(py, 0, H - 1) * W + jnp.clip(px, 0, W - 1)
+        idx = vk[:, None] * B + jnp.right_shift(lin, 3)
+        byte = jnp.take(packed_flat, idx)
+        m = ((byte >> (7 - (lin & 7)).astype(jnp.uint8)) & 1) != 0
+        return in_img & ~m, in_img & m
+
+    kill_s, hit_s = jax.lax.map(one_slot, (vsel.T, vvalid.T))
+    return kill_s.any(0), hit_s.any(0)
+
+
+def _build_tile_tables(packed, H, W):
+    """Overlapping 32x32-px bit-tile table for row-gather mask tests.
+
+    Random flat gathers run at ~84M lookups/s on a v5e REGARDLESS of
+    element width, but axis-0 ROW gathers fetch a whole row at ~50M
+    rows/s — 10x the bytes/s (measured, docs/CARVE_CEILING.md).  The
+    fine carve level exploits this: all 64 children of one parent cell
+    project into a <= ~12 px window, so ONE row-gather of a 32x32-px
+    tile (32 x i32) anchored at the window min serves every child; the
+    per-child bit is then picked by an in-register select tree (no
+    further gathers).
+
+    Tiles are anchored every 8 px in y and x (16x memory over the packed
+    masks — ~190MB for 60 views at 1440x1080), so any window with span
+    <= 25 px fits a single tile.  Word layout: tiles[v, ty, tx, dy] bit
+    b (LSB-first) = mask pixel (y = ty*8 + dy, x = tx*8 + b).
+
+    Returns (tiles (V * Ht * Wt, 32) int32, Ht, Wt).
+    """
+    V = packed.shape[0]
+    base = unpack_masks_device(packed, H, W).astype(jnp.uint32)  # (V,H,W)
+    Ht, Wt = -(-H // 8), -(-W // 8)
+    Hp = (Ht - 1) * 8 + 32 + 8   # +8 so the q-shifted slices stay in range
+    Wp = (Wt + 3) * 8
+    base = jnp.pad(base, ((0, 0), (0, Hp - H), (0, Wp - W)))
+    # non-overlapping byte packing along x (LSB-first)
+    wts = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint32)
+    bytes_ = (base.reshape(V, Hp, Wp // 8, 8) * wts).sum(axis=3)  # (V,Hp,Wb)
+    # overlapping 32-col words anchored every 8 px
+    cw = (bytes_[:, :, :Wt]
+          | (bytes_[:, :, 1:Wt + 1] << 8)
+          | (bytes_[:, :, 2:Wt + 2] << 16)
+          | (bytes_[:, :, 3:Wt + 3] << 24))            # (V, Hp, Wt)
+    # overlapping 32-row windows anchored every 8 px: dy = 8q + r picks
+    # colword row (ty + q)*8 + r
+    cw8 = cw.reshape(V, Hp // 8, 8, Wt)
+    tiles = jnp.stack([cw8[:, q:q + Ht] for q in range(4)],
+                      axis=3)                          # (V, Ht, 8->r, 4->q, ... )
+    # current dims: (V, Ht, 8, 4, Wt) with (r at axis2, q at axis3)
+    tiles = tiles.transpose(0, 1, 4, 3, 2)             # (V, Ht, Wt, q, r)
+    tiles = tiles.reshape(V * Ht * Wt, 32).astype(jnp.int32)
+    return tiles, Ht, Wt
+
+
+def _pick32(T, dy):
+    """Select T[p, dy[p, k]] without a gather: 5-level register select
+    tree (T: (P, 32) i32, dy: (P, k) int32 in [0, 32)) -> (P, k)."""
+    cur = [T[:, j:j + 1] for j in range(32)]
+    for bit in (16, 8, 4, 2, 1):
+        half = len(cur) // 2
+        b = (dy & bit) != 0
+        cur = [jnp.where(b, cur[j + half], cur[j]) for j in range(half)]
+    return cur[0]
+
+
+def _exact_tiles(pts_p, cams, valid, tiles, Ht, Wt, H, W):
+    """Exact single-pixel fine-level test via tile row-gathers.
+
+    pts_p: (P, f3, 3) voxel centers grouped by parent.  Returns
+    (kill (V, P*f3), hit (V, P*f3), overflow (V,) int32) — overflow
+    counts parents whose in-image pixel window exceeds the 25-px tile
+    guarantee (callers must fall back to the byte-gather path when any
+    overflow is nonzero; same retry contract as the caps).
+    Bit semantics identical to `_exact_local` (same projection rounding,
+    same clipped-pixel addressing).
+    """
+    P_, f3 = pts_p.shape[0], pts_p.shape[1]
+
+    def one_view(xs):
+        cam, ok_view, voff = xs
+        R = cam[4:13].reshape(3, 3)
+        t = cam[13:16]
+        p = pts_p.reshape(P_ * f3, 3) @ R.T + t
+        pz = p[:, 2]
+        px = (p[:, 0] / pz * cam[0] + cam[2]).astype(jnp.int32)
+        py = (p[:, 1] / pz * cam[1] + cam[3]).astype(jnp.int32)
+        in_img = (pz > 0) & (px >= 0) & (px <= W - 1) & (py >= 0) & (py <= H - 1)
+        in_img = in_img & ok_view
+        cx = jnp.clip(px, 0, W - 1).reshape(P_, f3)
+        cy = jnp.clip(py, 0, H - 1).reshape(P_, f3)
+        x0 = cx.min(axis=1)
+        y0 = cy.min(axis=1)
+        # 24 (not 25): the anchor can sit up to 7 px before the window
+        # min, and dx/dy must stay < 32 for the shifts.  Only parents
+        # with in-image children count — a parent whose children are all
+        # outside (or behind) projects garbage that the in_img mask
+        # discards anyway; a MIXED parent (some in, some clipped) can
+        # pull the anchor away from its in-image children, and then this
+        # span check is what catches the bad window.
+        over = (((cx.max(axis=1) - x0 > 24) | (cy.max(axis=1) - y0 > 24))
+                & in_img.reshape(P_, f3).any(axis=1))
+        tx = jnp.right_shift(x0, 3)
+        ty = jnp.right_shift(y0, 3)
+        rows = voff + ty * Wt + tx                      # (P,)
+        T = jnp.take(tiles, rows, axis=0)               # (P, 32) row-gather
+        dy = jnp.clip(cy - ty[:, None] * 8, 0, 31)
+        dx = jnp.clip(cx - tx[:, None] * 8, 0, 31)
+        word = _pick32(T, dy)
+        m = ((word >> dx) & 1) != 0
+        m = m.reshape(P_ * f3)
+        return in_img & ~m, in_img & m, jnp.sum(over, dtype=jnp.int32)
+
+    voffs = jnp.arange(cams.shape[0], dtype=jnp.int32) * (Ht * Wt)
+    kill, hit, over = jax.lax.map(
+        lambda xs: one_view(xs), (cams, valid, voffs))
+    return kill, hit, over
 
 
 def _exact_local(pts, cams, valid, masks_packed, H, W):
@@ -134,7 +357,8 @@ def _next_cap(n: int) -> int:
 
 def _make_carve_body(axis, H, W, shape,
                      start_level, pyramid_levels, caps,
-                     packed_output=False):
+                     packed_output=False, slot_caps=None,
+                     fine_tiles=False):
     """The fused hierarchical carve: top level + all refinements in ONE
     traced program with static per-level caps. Returns (volume int8,
     undecided counts per level int32) — callers MUST check counts <= caps
@@ -143,7 +367,20 @@ def _make_carve_body(axis, H, W, shape,
     per-level statuses across the view shard. Pass pmax/pmin to reuse
     device-resident pyramids across carves (skips the in-program build);
     origin and voxel_size are runtime arguments, so one compiled program
-    serves any grid placement of the same `shape`."""
+    serves any grid placement of the same `shape`.
+
+    `slot_caps` (tuple per refinement level, or None) enables the
+    slot-compacted refinement: each parent's children test only the
+    parent's <= K straddling views (docs/CARVE_CEILING.md lever) instead
+    of all V — ~6x fewer mask/pyramid gathers at the fine level. When
+    enabled the returned counts are [undecided per level..., max
+    straddling views per level...]; callers must ALSO check the second
+    half <= slot_caps (the wrappers retry with bigger K).
+
+    `fine_tiles` switches the exact fine level to 32x32-px tile
+    row-gathers (_exact_tiles; ~6x fewer gather lookups).  It appends
+    ONE more counts entry: the window-overflow total, which must be 0
+    (wrappers rebuild with fine_tiles=False otherwise)."""
     m = 1 << start_level
     grid = (-(-shape[0] // m), -(-shape[1] // m), -(-shape[2] // m))
     n_levels = pyramid_levels
@@ -186,8 +423,17 @@ def _make_carve_body(axis, H, W, shape,
 
         # ---- refinement -------------------------------------------------
         counts = []
+        smaxes = []
+        overflow = None
+        tiles = None
+        if fine_tiles:
+            tiles, Ht_t, Wt_t = _build_tile_tables(packed_l, H, W)
+        V_l = packed_l.shape[0]
         for li, (factor, cell_vox) in enumerate(plan):
             cap = caps[li]
+            K = None
+            if slot_caps is not None and slot_caps[li]:
+                K = min(int(slot_caps[li]), V_l)
             P_dense = gx * gy * gz
             undec_mask = status.reshape(-1) == UNDECIDED
             counts.append(jnp.sum(undec_mask, dtype=jnp.int32))
@@ -207,25 +453,65 @@ def _make_carve_body(axis, H, W, shape,
                         + jnp.asarray(offs)[None, :, :]).reshape(cap * f3, 3)
             child_valid = jnp.repeat(pvalid, f3)
             cand = local_undec[:, pidx_safe] & pvalid[None, :]
-            cand_c = jnp.repeat(cand, f3, axis=1)            # (V_l, cap*f3)
             hit_inherit = jnp.repeat(hit_carry[pidx_safe] & pvalid, f3)
 
-            if cell_vox > 1:
-                killc, hitc, undc = _classify_local(
-                    children, cams_l, valid_l, pmax_l, pmin_l, level_off,
-                    level_w, origin_j, vs * cell_vox, H, W, n_levels)
-                undc = undc & cand_c
+            if K is not None:
+                vsel, vvalid_s, smax = _topk_slots(cand, K)
+                if axis is not None:
+                    smax = jax.lax.pmax(smax, axis)
+                smaxes.append(smax)
+                und_s = None
+                if cell_vox > 1:
+                    corners_p = (origin_j[None, None, None, :]
+                                 + (children.reshape(cap, f3, 1, 3)
+                                    + _CUBE_OFFS_F[None, None, :, :])
+                                 * (vs * cell_vox))
+                    Lflat = pmax_l.shape[1]
+                    kill_a, hit_a, und_a, und_s = _classify_slots(
+                        corners_p, vsel, vvalid_s, cams_l,
+                        pmax_l.reshape(-1), pmin_l.reshape(-1), Lflat,
+                        level_off, level_w, H, W, n_levels)
+                else:
+                    pts_p = (origin_j[None, None, :]
+                             + children.reshape(cap, f3, 3) * vs)
+                    kill_a, hit_a = _exact_slots(
+                        pts_p, vsel, vvalid_s, cams_l,
+                        packed_l.reshape(-1), packed_l.shape[1], H, W)
+                    und_a = jnp.zeros_like(kill_a)
+                loc_kill = kill_a.reshape(-1)
+                loc_hit = hit_a.reshape(-1)
+                loc_und = und_a.reshape(-1)
             else:
-                pts = origin_j[None, :] + children * vs
-                killc, hitc = _exact_local(pts, cams_l, valid_l, packed_l,
-                                           H, W)
-                undc = jnp.zeros_like(killc)
-            killc = killc & cand_c
-            hitc = hitc & cand_c
+                smaxes.append(jnp.int32(0))
+                cand_c = jnp.repeat(cand, f3, axis=1)        # (V_l, cap*f3)
+                if cell_vox > 1:
+                    killc, hitc, undc = _classify_local(
+                        children, cams_l, valid_l, pmax_l, pmin_l, level_off,
+                        level_w, origin_j, vs * cell_vox, H, W, n_levels)
+                    undc = undc & cand_c
+                elif fine_tiles:
+                    pts_p = (origin_j[None, None, :]
+                             + children.reshape(cap, f3, 3) * vs)
+                    killc, hitc, over_v = _exact_tiles(
+                        pts_p, cams_l, valid_l, tiles, Ht_t, Wt_t, H, W)
+                    overflow = jnp.sum(over_v, dtype=jnp.int32)
+                    if axis is not None:
+                        overflow = jax.lax.psum(overflow, axis)
+                    undc = jnp.zeros_like(killc)
+                else:
+                    pts = origin_j[None, :] + children * vs
+                    killc, hitc = _exact_local(pts, cams_l, valid_l,
+                                               packed_l, H, W)
+                    undc = jnp.zeros_like(killc)
+                killc = killc & cand_c
+                hitc = hitc & cand_c
+                loc_kill = jnp.any(killc, axis=0)
+                loc_hit = jnp.any(hitc, axis=0)
+                loc_und = jnp.any(undc, axis=0)
 
-            any_kill_c = _gor(jnp.any(killc, axis=0), axis)
-            any_hit_c = _gor(jnp.any(hitc, axis=0), axis) | hit_inherit
-            any_und_c = _gor(jnp.any(undc, axis=0), axis)
+            any_kill_c = _gor(loc_kill, axis)
+            any_hit_c = _gor(loc_hit, axis) | hit_inherit
+            any_und_c = _gor(loc_und, axis)
             status_c = jnp.where(
                 any_kill_c, jnp.int8(KILLED),
                 jnp.where(any_und_c, jnp.int8(UNDECIDED),
@@ -247,11 +533,28 @@ def _make_carve_body(axis, H, W, shape,
 
             if cell_vox > 1:
                 # carry dense straddle matrix + hit flags to the next level
-                lu = jnp.zeros((packed_l.shape[0], nxt.size), bool)
-                local_undec = lu.at[:, safe_lin].max(undc, mode="drop")
+                if K is not None:
+                    tot = V_l * nxt.size
+                    idx_s = (vsel.T[:, :, None] * nxt.size
+                             + safe_lin.reshape(1, cap, f3))
+                    # only true straddle entries land; everything else
+                    # (masked slots, invalid children) routes out of range
+                    idx_s = jnp.where(und_s, idx_s, tot)
+                    lu = jnp.zeros((tot,), bool)
+                    local_undec = lu.at[idx_s.reshape(-1)].max(
+                        und_s.reshape(-1),
+                        mode="drop").reshape(V_l, nxt.size)
+                else:
+                    lu = jnp.zeros((V_l, nxt.size), bool)
+                    local_undec = lu.at[:, safe_lin].max(undc, mode="drop")
                 hc = jnp.zeros(nxt.size, bool)
                 hit_carry = hc.at[safe_lin].max(any_hit_c, mode="drop")
 
+        if slot_caps is not None:
+            counts = counts + smaxes
+        if fine_tiles:
+            counts = counts + [overflow if overflow is not None
+                               else jnp.int32(0)]
         vol = status.reshape(gx, gy, gz)[:nx, :ny, :nz]
         if packed_output:
             # bit-pack the alive mask on device: the volume pull is often
@@ -298,7 +601,8 @@ def make_sharded_carver(mesh: Mesh, axis: str, H: int, W: int, V_total: int,
 @functools.lru_cache(maxsize=64)
 def make_fused_carver(H: int, W: int, shape,
                       start_level: int = 3, pyramid_levels: int = 8,
-                      caps=(8192, 32768), packed_output=False):
+                      caps=(8192, 32768), packed_output=False,
+                      slot_caps=None, fine_tiles=False):
     """Single-chip FUSED hierarchical carve: the whole level loop is one
     jitted program (no host syncs between levels — the round-1 carver,
     ops/carving_hier.py:310-342, pays one dispatch + one scalar pull per
@@ -307,15 +611,21 @@ def make_fused_carver(H: int, W: int, shape,
     Returns fn(packed (V, B), cams (V, 16), valid (V,), origin (3,),
     voxel_size[, pmax, pmin]) -> (volume int8, per-level undecided
     counts). Check counts <= caps. lru-cached per geometry so repeated
-    carves reuse the compiled program."""
+    carves reuse the compiled program.  With `slot_caps` (tuple per
+    refinement level) the refinement is slot-compacted and counts is
+    [undecided..., max-straddling-views...] — check BOTH halves.  With
+    `fine_tiles` the last counts entry is the tile-window overflow total
+    (must be 0; rebuild with fine_tiles=False otherwise)."""
     body = _make_carve_body(None, H, W, tuple(shape),
                             start_level, pyramid_levels, tuple(caps),
-                            packed_output=packed_output)
+                            packed_output=packed_output,
+                            slot_caps=slot_caps, fine_tiles=fine_tiles)
     return jax.jit(body)
 
 
 def carve_fused(masks, cameras, valid, origin, voxel_size, shape,
-                caps=(8192, 32768), packed=None, hw=None, out="int8"):
+                caps=(8192, 32768), packed=None, hw=None, out="int8",
+                slot_caps=None, fine_tiles=True):
     """One-shot fused single-chip carve with automatic cap retry.
 
     Drop-in replacement for ops.carving_hier.carve_hierarchical (verified
@@ -335,13 +645,24 @@ def carve_fused(masks, cameras, valid, origin, voxel_size, shape,
     valid = jnp.asarray(valid)
     origin = jnp.asarray(origin, jnp.float32)
     caps = list(caps)
+    slots = list(slot_caps) if slot_caps else None
+    tiles_on = bool(fine_tiles)
     while True:
         fn = make_fused_carver(H, W, tuple(shape), caps=tuple(caps),
-                               packed_output=(out == "alive"))
+                               packed_output=(out == "alive"),
+                               slot_caps=tuple(slots) if slots else None,
+                               fine_tiles=tiles_on)
         vol, counts = fn(packed, cameras, valid, origin,
                          jnp.float32(voxel_size))
         counts = np.asarray(counts)
-        if (counts <= np.asarray(caps[:len(counts)])).all():
+        over = int(counts[-1]) if tiles_on else 0
+        body_counts = counts[:-1] if tiles_on else counts
+        nl = len(body_counts) // 2 if slots else len(body_counts)
+        und, smax = body_counts[:nl], body_counts[nl:]
+        ok = (und <= np.asarray(caps[:nl])).all() and over == 0
+        if slots is not None:
+            ok = ok and all(int(s) <= k for s, k in zip(smax, slots[:nl]))
+        if ok:
             if out == "alive":
                 n = int(np.prod(shape))
                 bits = np.unpackbits(np.asarray(vol))[:n]
@@ -351,7 +672,14 @@ def carve_fused(masks, cameras, valid, origin, voxel_size, shape,
         # power-of-two cap (counts from the overflowed run are exact,
         # they're computed on the dense status volume before compaction)
         caps = [_next_cap(int(n)) if n > c else c
-                for c, n in zip(caps, counts)]
+                for c, n in zip(caps, und)]
+        if slots is not None:
+            slots = [(-(-int(s) // 4) * 4) if int(s) > k else k
+                     for k, s in zip(slots, smax)]
+        if over > 0:
+            # a parent's pixel window exceeded the 32x32 tile: the scene
+            # projects cells wider than ~24 px — use byte gathers
+            tiles_on = False
 
 
 def carve_sharded_hierarchical(masks, cameras, valid, origin, voxel_size,

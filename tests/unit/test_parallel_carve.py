@@ -111,3 +111,57 @@ def test_fused_pairs_matches_dense():
     alive = carve_fused_pairs(masks, cams, valid, origin, 0.5, shape,
                               start_level=4, out="alive")
     np.testing.assert_array_equal(alive, d == 1)
+
+
+def test_fused_fine_tiles_and_slots_match_dense():
+    """Round-3 fast paths are bit-identical to the byte-gather engine:
+
+    - fine_tiles: 32x32-px tile row-gathers + in-register select tree at
+      the exact level (plus the dilated single-tap pyramids);
+    - slot_caps: per-parent straddling-view compaction (top_k over the
+      carried straddle matrix) with the smax retry contract.
+    """
+    from plant3dvision_tpu.parallel.carving_mp import carve_fused
+    masks, cams = _synthetic_views(n_views=10, H=96, W=160, radius=5.0,
+                                   dist_cam=30.0)
+    valid = np.ones(10, bool)
+    origin = np.array([-9.0, -7.0, -25.0], np.float32)
+    shape = (37, 29, 53)
+    d = _dense(masks, cams, valid, origin, 0.5, shape)
+    f_bytes = carve_fused(masks, cams, valid, origin, 0.5, shape,
+                          fine_tiles=False)
+    np.testing.assert_array_equal(d, f_bytes)
+    f_tiles = carve_fused(masks, cams, valid, origin, 0.5, shape,
+                          fine_tiles=True)
+    np.testing.assert_array_equal(d, f_tiles)
+    # slots start deliberately tiny so the smax retry path runs
+    f_slots = carve_fused(masks, cams, valid, origin, 0.5, shape,
+                          fine_tiles=False, slot_caps=(4, 4))
+    np.testing.assert_array_equal(d, f_slots)
+
+
+def test_fused_fine_tiles_window_overflow_falls_back():
+    """A close-up camera projects fine cells wider than the 32x32 tile
+    window: the in-program overflow count must trip and the wrapper must
+    silently fall back to the byte-gather exact level — never return a
+    volume computed from out-of-window bits."""
+    from plant3dvision_tpu.parallel.carving_mp import (carve_fused,
+                                                       make_fused_carver)
+    import jax.numpy as jnp
+    # dist 9 with radius 5: the sphere nearly fills the frame, cells
+    # project far wider than 24 px
+    masks, cams = _synthetic_views(n_views=6, H=128, W=128, radius=5.0,
+                                   dist_cam=9.0)
+    valid = np.ones(6, bool)
+    origin = np.array([-8.0, -8.0, -8.0], np.float32)
+    shape = (32, 32, 32)
+    fn = make_fused_carver(128, 128, shape, fine_tiles=True)
+    _, counts = fn(jnp.asarray(
+        __import__("plant3dvision_tpu.ops.carving_hier",
+                   fromlist=["pack_masks"]).pack_masks(masks)),
+        jnp.asarray(cams), jnp.asarray(valid), jnp.asarray(origin),
+        jnp.float32(0.5))
+    assert int(np.asarray(counts)[-1]) > 0, "expected window overflow"
+    d = _dense(masks, cams, valid, origin, 0.5, shape)
+    f = carve_fused(masks, cams, valid, origin, 0.5, shape)
+    np.testing.assert_array_equal(d, f)
