@@ -48,11 +48,13 @@ class FusedCarving(RomiTask):
         return bbox
 
     #: carve engine: "pv" = per-view incidence pairs with host-sized
-    #: caps (ops/carving_pv.py — the production default; its three
-    #: programs compile in minutes), "fp" = fused pair-compacted
-    #: single-program engine (parallel/carving_fp.py — bit-exact and
-    #: faster on paper, but its one large program hits a remote-compile
-    #: pathology on this TPU toolchain; opt-in until that is resolved)
+    #: caps (ops/carving_pv.py; its three programs compile in minutes),
+    #: "fused" = single-program dense carve with tile row-gather fine
+    #: level + dilated pyramids (parallel/carving_mp.py — the fastest
+    #: measured engine, bit-exact vs the others), "fp" = fused
+    #: pair-compacted engine (parallel/carving_fp.py — bit-exact, but
+    #: its one large program hits a remote-compile pathology on this
+    #: TPU toolchain; opt-in)
     engine = Parameter(default="pv", significant=False)
     #: decode/upload chunk: image decode+threshold+pack of chunk i+1
     #: overlaps the (async) device_put of chunk i
@@ -130,6 +132,10 @@ class FusedCarving(RomiTask):
             carver = PerViewCarver((len(cams), H, W), cams, valid,
                                    packed=packed_dev)
             vol = carver.carve(origin, vs, shape)
+        elif str(self.engine) == "fused":
+            from ..parallel.carving_mp import carve_fused
+            vol = carve_fused(None, cams, valid, origin, vs, shape,
+                              packed=packed_dev, hw=(H, W))
         else:
             from ..parallel.carving_fp import carve_fused_pairs
             vol = carve_fused_pairs(None, cams, valid, origin, vs, shape,
