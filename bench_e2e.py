@@ -116,12 +116,10 @@ def run_reference_fixtures():
 
     with TemporaryDB() as db:
         fixtures.load_reference_scan(db, "real_plant")
-        # the committed config IS the measured-best recipe (voxel 0.5 +
-        # vote carving; round 3: 23/29 organs, ncost 0.125, 16.4 deg)
+        # the committed config IS the measured-best recipe, run verbatim
+        # (round 3: pinhole BA + lossless Undistorted + mask threshold
+        # 0.15 + legacy angles -> 29/29 organs, ncost 0.066, 11.0 deg)
         cfg = load_toml(repo / "configs" / "geom_pipe_real_selfcal.toml")
-        cfg["Undistorted"] = {"upstream_task": "ImagesFilesetExists"}
-        cfg["Masks"]["upstream_task"] = "ImagesFilesetExists"
-        cfg["Masks"]["upstream_pose"] = "TurntableCalibration"
         ctx = RunContext(db, "real_plant", cfg)
         t0 = time.perf_counter()
         report = run_task(ctx, "AnglesAndInternodesEvaluation", report=False)

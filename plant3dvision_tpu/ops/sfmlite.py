@@ -469,7 +469,7 @@ def refine_turntable(matches, poses, theta0, width, height, *,
 
 def iterative_refine(gray, kp_masks, theta0, poses, width, height, *,
                      rounds=2, k=512, strides=(1, 2, 4, 7, 12),
-                     downsample=1, min_matches=50,
+                     downsample=1, min_matches=50, estimate_k1=False,
                      schedule=((80.0, (60.0, 12.0, 4.0)),
                                (15.0, (8.0, 4.0, 2.5)))):
     """Alternate matching and bundle adjustment (SfM-style refinement).
@@ -485,6 +485,15 @@ def iterative_refine(gray, kp_masks, theta0, poses, width, height, *,
     cache = {}
     theta, jitter, ba = np.asarray(theta0, np.float32), None, None
     k1 = 0.0
+    # k1 from feature tracks of a centered rotating plant is barely
+    # identifiable (it trades against f): on the real_plant fixture the
+    # freed estimate flips sign run-to-run and undistorting with it
+    # LOSES ~4 deg of divergence-angle accuracy vs pinhole (round 3
+    # k1 sweep: 0.0 -> 16.35 deg, +0.0087 -> 20.5, -0.0087 -> 19.5).
+    # Pinhole BA is the default; free k1 only on request.
+    free = ("f", "dpan", "dtilt", "roll", "mx", "my")
+    if estimate_k1:
+        free = free + ("k1",)
     for rnd in range(min(rounds, len(schedule))):
         mgate, bgates = schedule[rnd]
         matches = build_matches(gray, kp_masks, theta, poses, width, height,
@@ -494,7 +503,8 @@ def iterative_refine(gray, kp_masks, theta0, poses, width, height, *,
         if len(matches["va"]) < min_matches:
             break
         ba = refine_turntable(matches, poses, theta, width, height,
-                              gate_px=bgates, jitter0=jitter, k10=k1)
+                              gate_px=bgates, jitter0=jitter, k10=k1,
+                              free=free)
         theta = ba["theta_raw"]
         jitter = (ba["dpan_view"], ba["dtilt_view"], ba["droll_view"])
         k1 = ba["k1"]

@@ -60,8 +60,18 @@ def run_task(ctx, task_name_or_cls, report=True) -> dict:
         name = task.get_task_family()
         if task.complete():
             logger.info(f"{name}: already complete, skipping")
-            results[name] = {"status": "skipped", "seconds": 0.0}
+            results[name] = {
+                "status": "skipped", "seconds": 0.0,
+                "fileset": getattr(task.output(), "fileset_id", None),
+            }
             continue
+        # a stale (crashed-run) partial output would shadow this run's
+        # writes — clear it before starting
+        out = task.output()
+        if getattr(out, "fileset_id", None) is not None and out.exists():
+            logger.warning(f"{name}: clearing unfinalized partial output "
+                           f"{out.fileset_id}")
+            _destroy_output(task)
         t0 = time.monotonic()
         attempts = 1 + getattr(task, "retry_count", 0)
         last_err = None

@@ -191,6 +191,23 @@ class RomiTask(BaseTask):
     def requires(self):
         return [self._upstream()]
 
+    def complete(self) -> bool:
+        """Crash-safe completeness: the output fileset must exist, be
+        non-empty AND carry the 'task_params' metadata that finalize()
+        writes only after run() succeeded. A run killed mid-write leaves
+        files but no marker, so the next run recomputes instead of
+        silently consuming a half-written fileset (plain existence — the
+        reference's rule — cannot tell the two apart)."""
+        out = self.output()
+        if out is None:
+            return True
+        if not out.exists():
+            return False
+        if not isinstance(out, FilesetTarget):
+            return True
+        fs = self.ctx.scan.get_fileset(out.fileset_id)
+        return fs is not None and fs.get_metadata("task_params") is not None
+
     def output(self) -> FilesetTarget:
         return FilesetTarget(self.ctx.scan, self.task_id())
 

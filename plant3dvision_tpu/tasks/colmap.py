@@ -74,6 +74,12 @@ class TurntableCalibration(RomiTask):
     cem_iters = Parameter(default=10)
     cem_rounds = Parameter(default=2)
     feature_ba = Parameter(default=True)
+    #: free the SIMPLE_RADIAL k1 in the bundle adjustment. Off by
+    #: default: on turntable scans of a centered plant k1 is barely
+    #: identifiable from feature tracks and the freed estimate HURT
+    #: downstream angle accuracy on the real_plant fixture (see
+    #: ops/sfmlite.iterative_refine).
+    estimate_k1 = Parameter(default=False)
     feature_downsample = Parameter(default=1)
     n_keypoints = Parameter(default=512)
     strides = Parameter(default=[1, 2, 4, 7, 12])
@@ -171,7 +177,8 @@ class TurntableCalibration(RomiTask):
                 k=int(self.n_keypoints),
                 strides=tuple(int(s) for s in self.strides),
                 downsample=int(self.feature_downsample),
-                min_matches=int(self.min_matches))
+                min_matches=int(self.min_matches),
+                estimate_k1=bool(self.estimate_k1))
             if ba is not None:
                 logger.info(
                     f"feature BA: rms {ba['rms_px']:.2f} px, "

@@ -50,6 +50,16 @@ class Undistorted(FileByFileTask):
             return self._calibrated_camera()
         return cameralib.get_camera_kwargs_from_images_metadata(fin)
 
+    @staticmethod
+    def _out_ext(fin):
+        """Undistorted output is written LOSSLESSLY: re-encoding a
+        resampled frame as JPEG (imageio default quality) shifts mask
+        edges enough to cost ~5 deg of divergence-angle accuracy on the
+        real_plant fixture (measured round 3). Lossless inputs keep
+        their extension; lossy ones are promoted to png."""
+        ext = (fin.filename or "x.png").rsplit(".", 1)[-1].lower()
+        return ext if ext in ("png", "tif", "tiff", "bmp") else "png"
+
     def f(self, fin, outfs):
         from ..ops.undistort import undistort
         cam = self._camera_for(fin)
@@ -61,8 +71,7 @@ class Undistorted(FileByFileTask):
             img = np.asarray(undistort(img, cam["K"].astype(np.float32),
                                        cam["dist"].astype(np.float32)))
         fout = outfs.get_file(fin.id, create=True)
-        ext = (fin.filename or "x.png").rsplit(".", 1)[-1]
-        io.write_image(fout, img, ext)
+        io.write_image(fout, img, self._out_ext(fin))
         return fout
 
     def run(self):
@@ -98,8 +107,7 @@ class Undistorted(FileByFileTask):
         with self.ctx.scan.deferred_store(), ThreadPoolExecutor(8) as ex:
             def _copy_through(fin):
                 fout = outfs.get_file(fin.id, create=True)
-                io.write_image(fout, io.read_image(fin),
-                               (fin.filename or "x.png").rsplit(".", 1)[-1])
+                io.write_image(fout, io.read_image(fin), self._out_ext(fin))
                 fout.set_metadata(fin.get_metadata())
 
             list(ex.map(_copy_through, no_cam))
@@ -122,8 +130,7 @@ class Undistorted(FileByFileTask):
                     def _write(args):
                         fin, img = args
                         fout = outfs.get_file(fin.id, create=True)
-                        io.write_image(fout, img,
-                                       (fin.filename or "x.png").rsplit(".", 1)[-1])
+                        io.write_image(fout, img, self._out_ext(fin))
                         fout.set_metadata(fin.get_metadata())
 
                     list(ex.map(_write, zip(part, out)))

