@@ -207,14 +207,16 @@ def test_real_plant_colmap_free_pipeline_dtw():
         efs = ctx.scan.get_fileset(
             report["AnglesAndInternodesEvaluation"]["fileset"])
         ev = json.loads(efs.get_files()[0].read_raw())
-        # round-3 guards (VERDICT r2 #4): per-view roll in the BA +
-        # 0.5 mm vote carving measured 23/29 organs, ncost 0.125,
-        # 16.4 deg mean angle error at FULL calibration budget; this
-        # test's reduced budget (cem_pop 32, downsample 2) measured
-        # ncost 0.15 / 27.6 deg — guards between the two
-        assert ev["normalized_cost"] < 0.18, ev
-        assert ev["mean_angle_error"] < 30.0, ev
-        assert 18 <= len(out["angles"]) <= 32
+        # round-3 guards (VERDICT r2 #4): pinhole BA + 0.15 mask
+        # threshold + legacy angles measured 29/29 organs, ncost 0.066,
+        # 11.0 deg mean angle error at FULL calibration budget
+        # (geom_pipe_real_selfcal.toml, clean-DB rerun reproduced
+        # bit-identically); this test's reduced budget (cem_pop 32,
+        # downsample 2) measured 34 organs, ncost 0.087, 15.4 deg —
+        # guards with headroom over the reduced-budget level
+        assert ev["normalized_cost"] < 0.12, ev
+        assert ev["mean_angle_error"] < 22.0, ev
+        assert 24 <= len(out["angles"]) <= 38
 
         # calibration QC artifacts exist and are sane
         cfs = ctx.scan.get_fileset(
