@@ -21,18 +21,63 @@ from .db import File
 
 # -- images ------------------------------------------------------------
 
+#: cv2 (libjpeg-turbo / SIMD libpng) decodes ~2x faster than imageio on
+#: JPEG and ~1.2x on PNG, encodes PNG several times faster, and releases
+#: the GIL so the threaded ingest paths (FusedCarving, Undistorted)
+#: actually parallelize on multi-core hosts. imageio stays as the
+#: fallback for formats cv2 does not handle.
+_CV2_EXTS = {"png", "jpg", "jpeg", "bmp", "tif", "tiff", "webp"}
+
+
+def _cv2_to_rgb(img):
+    import cv2
+    if img is None:
+        return None
+    if img.ndim == 3 and img.shape[2] == 3:
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    if img.ndim == 3 and img.shape[2] == 4:
+        return cv2.cvtColor(img, cv2.COLOR_BGRA2RGBA)
+    return img
+
+
 def read_image(file: File) -> np.ndarray:
+    path = str(file.path())
+    ext = path.rsplit(".", 1)[-1].lower()
+    if ext in _CV2_EXTS:
+        try:
+            import cv2
+            img = _cv2_to_rgb(cv2.imread(path, cv2.IMREAD_UNCHANGED))
+            if img is not None:
+                return img
+        except ImportError:
+            pass
     import imageio.v2 as iio
-    return np.asarray(iio.imread(file.path()))
+    return np.asarray(iio.imread(path))
 
 
 def write_image(file: File, image: np.ndarray, ext: str = "png") -> None:
-    import imageio.v2 as iio
-    ext = ext.lstrip(".")
-    buf = BytesIO()
+    ext = ext.lstrip(".").lower()
     image = np.asarray(image)
     if image.dtype in (np.float32, np.float64):
         image = np.clip(image * 255.0 if image.max() <= 1.0 else image, 0, 255).astype(np.uint8)
+    if ext in ("png", "jpg", "jpeg", "bmp") and image.dtype == np.uint8:
+        try:
+            import cv2
+            bgr = image
+            if image.ndim == 3 and image.shape[2] == 3:
+                bgr = cv2.cvtColor(image, cv2.COLOR_RGB2BGR)
+            elif image.ndim == 3 and image.shape[2] == 4:
+                bgr = cv2.cvtColor(image, cv2.COLOR_RGBA2BGRA)
+            params = ([cv2.IMWRITE_JPEG_QUALITY, 95]
+                      if ext in ("jpg", "jpeg") else [])
+            ok, buf = cv2.imencode("." + ext, bgr, params)
+            if ok:
+                file.write_raw(buf.tobytes(), ext)
+                return
+        except ImportError:
+            pass
+    import imageio.v2 as iio
+    buf = BytesIO()
     iio.imwrite(buf, image, format=ext if ext != "jpg" else "jpeg")
     file.write_raw(buf.getvalue(), ext)
 
