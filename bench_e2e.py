@@ -28,7 +28,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 import numpy as np
 
 
-def run_northstar(n_views=300, voxel=1.0, width=1440, height=1080):
+def run_northstar(n_views=300, voxel=1.0, width=1440, height=1080,
+                  engine=None):
     from plant3dvision_tpu.fsdb.testing import TemporaryDB
     from plant3dvision_tpu.runtime import RunContext, run_task
     from plant3dvision_tpu.runtime.config import load_toml
@@ -36,6 +37,8 @@ def run_northstar(n_views=300, voxel=1.0, width=1440, height=1080):
 
     cfg = load_toml(Path(__file__).parent / "configs" / "geom_pipe_fast.toml")
     cfg["FusedCarving"]["voxel_size"] = voxel
+    if engine:
+        cfg["FusedCarving"]["engine"] = engine
     cfg["Clean"] = {"no_confirm": True}
 
     plant = SyntheticPlant(n_fruits=15, divergence_deg=137.5, internode=6.0,
@@ -138,6 +141,8 @@ def main():
     ap.add_argument("--platform", default=None,
                     help="force a JAX backend (e.g. cpu) before init")
     ap.add_argument("--skip-northstar", action="store_true")
+    ap.add_argument("--engine", default=None,
+                    help="override FusedCarving.engine for the northstar")
     args = ap.parse_args()
 
     import jax
@@ -152,7 +157,8 @@ def main():
              "device": str(jax.devices()[0]),
              "captured": time.strftime("%Y-%m-%d %H:%M:%S")}
     if not args.skip_northstar:
-        report["northstar"] = {**run_northstar(args.views, args.voxel),
+        report["northstar"] = {**run_northstar(args.views, args.voxel,
+                                               engine=args.engine),
                                **stamp}
     if args.reference_data:
         report["reference_fixtures"] = {**run_reference_fixtures(), **stamp}
