@@ -294,12 +294,13 @@ def test_virtual_plant_ml_route_cnn(virtual_db):
     ev = json.loads(ctx.scan.get_fileset(
         _fileset_of(ctx.scan, report, "AnglesAndInternodesEvaluation"))
         .get_files()[0].read_raw())
-    # measured with the CNN in the loop (round 3): 23 angles of the 41
-    # organs, DTW ncost 0.121, mean angle error 17.5 deg — guards with
-    # regression headroom (reference's own oracle is len(angles) > 10)
+    # measured with the CNN in the loop (round 3, min_fruit_size 2.0):
+    # 23 angles of the 41 organs, DTW ncost 0.118, mean angle error
+    # 19.5 deg — guards with regression headroom (reference's own
+    # oracle is len(angles) > 10)
     assert len(out["angles"]) >= 18, out["angles"]
     assert len(out["angles"]) <= 41
-    assert ev["normalized_cost"] < 0.3, ev["normalized_cost"]
+    assert ev["normalized_cost"] < 0.25, ev["normalized_cost"]
     assert ev["mean_angle_error"] < 30.0, ev["mean_angle_error"]
 
 
