@@ -17,13 +17,26 @@ import jax.numpy as jnp
 
 def distort_normalized(x, y, dist):
     """Forward OPENCV distortion of normalized coords. dist = (k1,k2,p1,p2[,k3])."""
+    dx, dy = distort_delta(x, y, dist)
+    return x + dx, y + dy
+
+
+def distort_delta(x, y, dist):
+    """Distortion DISPLACEMENT (x_d - x, y_d - y) of normalized coords.
+
+    Computed directly (radial-1 = r2*(k1 + r2*(k2 + r2*k3))) so it has
+    full float32 precision relative to the displacement itself: forming
+    x_d then subtracting x would round at the magnitude of x and, with
+    zero distortion, leave the identity map off by an ulp — enough to
+    push border pixels outside the `inside` test and to blend
+    neighbouring pixels at fx ~ 1e-4 everywhere else."""
     k1, k2, p1, p2 = dist[0], dist[1], dist[2], dist[3]
     k3 = dist[4] if len(dist) > 4 else 0.0
     r2 = x * x + y * y
-    radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
-    x_d = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
-    y_d = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
-    return x_d, y_d
+    radial_m1 = r2 * (k1 + r2 * (k2 + r2 * k3))
+    dx = x * radial_m1 + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    dy = y * radial_m1 + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return dx, dy
 
 
 def bilinear_sample(image, px, py):
@@ -64,9 +77,11 @@ def undistort(image, K, dist):
     y = (v - cy) / fy
     x = jnp.broadcast_to(x, (H, W))
     y = jnp.broadcast_to(y, (H, W))
-    x_d, y_d = distort_normalized(x, y, jnp.asarray(dist, jnp.float32))
-    px = x_d * fx + cx
-    py = y_d * fy + cy
+    # pixel position as source-pixel + scaled displacement: exact for
+    # zero distortion (see distort_delta)
+    dx, dy = distort_delta(x, y, jnp.asarray(dist, jnp.float32))
+    px = jnp.broadcast_to(u, (H, W)) + dx * fx
+    py = jnp.broadcast_to(v, (H, W)) + dy * fy
     out = bilinear_sample(f32, px, py)
     # zero outside the source image (cv2 fills with 0)
     inside = (px >= 0) & (px <= W - 1) & (py >= 0) & (py <= H - 1)

@@ -41,3 +41,32 @@ def test_undistorted_batched_matches_cv2(temp_db, rng):
         assert np.quantile(diff, 0.99) <= 2
         # metadata copied through
         assert fs.get_file(f"{v:05d}_rgb").get_metadata("channel") == "rgb"
+
+
+def test_undistorted_output_is_lossless(temp_db):
+    """JPEG inputs must be promoted to a lossless format on output:
+    re-encoding the resampled frame as JPEG shifted downstream mask
+    edges enough to cost ~5 deg of divergence-angle accuracy on the
+    real_plant fixture (round 3)."""
+    H, W = 64, 80
+    cam_md = {"camera_model": {"model": "OPENCV", "width": W, "height": H,
+                               "params": [90.0, 90.0, W / 2, H / 2,
+                                          0.0, 0.0, 0.0, 0.0]}}
+    scan = temp_db.create_scan("sj")
+    images = scan.create_fileset("images")
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (H, W, 3), dtype=np.uint8)
+    f = images.create_file("00000_rgb")
+    io.write_image(f, img, "jpg")
+    f.set_metadata({"channel": "rgb", "camera": cam_md})
+    decoded = io.read_image(f)  # what the task reads (post-JPEG)
+
+    ctx = RunContext(temp_db, "sj", config={
+        "Undistorted": {"upstream_task": "ImagesFilesetExists"}})
+    run_task(ctx, "Undistorted", report=False)
+    fs = ctx.scan.get_fileset(ctx.get_task("Undistorted").task_id())
+    fout = fs.get_file("00000_rgb")
+    # zero distortion -> the identity resample must round-trip EXACTLY
+    # (a JPEG output could not)
+    assert fout.filename.endswith(".png"), fout.filename
+    assert np.array_equal(io.read_image(fout), decoded)
