@@ -64,10 +64,9 @@ def test_virtual_plant_fixture_layout(virtual_db):
 def test_virtual_plant_geom_pipeline_dtw(virtual_db):
     """Full geom pipeline (background-mask carve, reference
     configs/geom_pipe_virtual.toml route) + DTW vs ground truth."""
+    # the committed config (0.1 voxels since round 3 — measured better
+    # than 0.06 on this fixture AND 4x faster) runs verbatim
     cfg = load_toml(REPO / "configs" / "geom_pipe_virtual.toml")
-    # CPU test budget: 0.1 instead of 0.06 (the reference's own test config,
-    # test_geom_pipe_virtual.toml, uses 0.1 as well)
-    cfg["Voxels"]["voxel_size"] = 0.1
     ctx = RunContext(virtual_db, "virtual_plant", cfg)
     report = run_task(ctx, "AnglesAndInternodesEvaluation", report=False)
     assert report["AnglesAndInternodes"]["status"] == "done"
@@ -84,8 +83,8 @@ def test_virtual_plant_geom_pipeline_dtw(virtual_db):
     # DTW accuracy on the reference's shipped ground truth (41 organs).
     # Guard thresholds at measured-quality level (ncost 0.137 / 21.9 deg
     # mean divergence-angle error at 0.1 voxels) so regressions surface.
-    assert ev["normalized_cost"] < 0.25, ev["normalized_cost"]
-    assert ev["mean_angle_error"] < 30.0, ev["mean_angle_error"]
+    assert ev["normalized_cost"] < 0.2, ev["normalized_cost"]
+    assert ev["mean_angle_error"] < 28.0, ev["mean_angle_error"]
     # organ-count sanity: within ~25% of the 41 true organs
     assert 30 <= len(out["angles"]) <= 55
 
