@@ -576,14 +576,17 @@ def _make_carve_body(axis, H, W, shape,
 
 def make_sharded_carver(mesh: Mesh, axis: str, H: int, W: int, V_total: int,
                         shape, start_level: int = 3, pyramid_levels: int = 8,
-                        cap: int = 8192, caps=None):
+                        cap: int = 8192, caps=None, fine_tiles=False):
     """Builds a jitted SPMD carve for a fixed geometry.
 
     Returns fn(packed (V, B) view-sharded, cams (V, 16), valid (V,),
     origin (3,), voxel_size) -> (replicated int8 volume of `shape`,
     per-level undecided counts). `caps` bounds undecided cells per
     refinement level (static); check counts <= caps or use
-    carve_sharded_hierarchical, which retries."""
+    carve_sharded_hierarchical, which retries. `fine_tiles` enables the
+    tile row-gather fine level (each shard builds tile tables from its
+    LOCAL views; the window-overflow count is psum'd and appended to
+    counts — it must be 0, same contract as the single-chip engine)."""
     from jax import shard_map
 
     n_shards = mesh.shape[axis]
@@ -591,7 +594,8 @@ def make_sharded_carver(mesh: Mesh, axis: str, H: int, W: int, V_total: int,
     if caps is None:
         caps = (cap, cap)
     body = _make_carve_body(axis, H, W, tuple(shape),
-                            start_level, pyramid_levels, tuple(caps))
+                            start_level, pyramid_levels, tuple(caps),
+                            fine_tiles=fine_tiles)
     fn = shard_map(body, mesh=mesh,
                    in_specs=(P(axis), P(axis), P(axis), P(), P()),
                    out_specs=(P(), P()))
@@ -684,8 +688,14 @@ def carve_fused(masks, cameras, valid, origin, voxel_size, shape,
 
 def carve_sharded_hierarchical(masks, cameras, valid, origin, voxel_size,
                                shape, mesh: Mesh, axis: str = "dp",
-                               cap: int = 8192):
-    """Convenience wrapper: pad views to the mesh axis, pack, carve."""
+                               cap: int = 8192, fine_tiles=True):
+    """Convenience wrapper: pad views to the mesh axis, pack, carve.
+
+    Uses the tile row-gather fine level by default (same bit-exact
+    semantics; ~6x fewer fine-level gathers per shard) and falls back to
+    the byte-gather path if a parent's pixel window overflows the 32x32
+    tile guarantee (scene closer to the cameras than the fine cell
+    size)."""
     masks = np.asarray(masks)
     V, H, W = masks.shape
     n = mesh.shape[axis]
@@ -697,16 +707,22 @@ def carve_sharded_hierarchical(masks, cameras, valid, origin, voxel_size,
         valid = np.concatenate([valid, np.zeros(pad, bool)])
     packed = pack_masks(masks)
     caps = [cap, cap]
+    tiles_on = bool(fine_tiles)
     while True:
         fn = make_sharded_carver(mesh, axis, H, W, len(masks), tuple(shape),
-                                 caps=tuple(caps))
+                                 caps=tuple(caps), fine_tiles=tiles_on)
         with mesh:
             vol, counts = fn(jnp.asarray(packed), jnp.asarray(cameras),
                              jnp.asarray(valid),
                              jnp.asarray(origin, jnp.float32),
                              jnp.float32(voxel_size))
         counts = np.asarray(counts)
-        if (counts <= np.asarray(caps[:len(counts)])).all():
+        over = int(counts[-1]) if tiles_on else 0
+        und = counts[:-1] if tiles_on else counts
+        if over > 0:
+            tiles_on = False
+            continue
+        if (und <= np.asarray(caps[:len(und)])).all():
             return np.asarray(vol)
-        caps = [_next_cap(int(n)) if n > c else c
-                for c, n in zip(caps, counts)]
+        caps = [_next_cap(int(c_n)) if c_n > c else c
+                for c, c_n in zip(caps, und)]

@@ -165,3 +165,34 @@ def test_fused_fine_tiles_window_overflow_falls_back():
     d = _dense(masks, cams, valid, origin, 0.5, shape)
     f = carve_fused(masks, cams, valid, origin, 0.5, shape)
     np.testing.assert_array_equal(d, f)
+
+
+def test_sharded_fine_tiles_matches_dense_and_falls_back():
+    """Round-3: the tile row-gather fine level in the SHARDED carver —
+    bit-exact vs the dense oracle with tiles on and off, and the
+    close-up overflow case falls back to byte-gathers across shards
+    (overflow counts are psum'd over the view shard)."""
+    mesh = make_mesh({"dp": 4})
+    masks, cams = _synthetic_views(n_views=12, H=128, W=128, radius=8.0,
+                                   dist_cam=50.0)
+    valid = np.ones(12, bool)
+    origin = np.array([-20.0, -20.0, -20.0], np.float32)
+    shape = (40, 40, 40)
+    d = _dense(masks, cams, valid, origin, 1.0, shape)
+    t_on = carve_sharded_hierarchical(masks, cams, valid, origin, 1.0,
+                                      shape, mesh, fine_tiles=True)
+    t_off = carve_sharded_hierarchical(masks, cams, valid, origin, 1.0,
+                                       shape, mesh, fine_tiles=False)
+    np.testing.assert_array_equal(d, t_on)
+    np.testing.assert_array_equal(d, t_off)
+
+    # close-up: fine cells project wider than the 32x32 tile window
+    masks2, cams2 = _synthetic_views(n_views=8, H=128, W=128, radius=5.0,
+                                     dist_cam=9.0)
+    valid2 = np.ones(8, bool)
+    origin2 = np.array([-8.0, -8.0, -8.0], np.float32)
+    shape2 = (32, 32, 32)
+    d2 = _dense(masks2, cams2, valid2, origin2, 0.5, shape2)
+    s2 = carve_sharded_hierarchical(masks2, cams2, valid2, origin2, 0.5,
+                                    shape2, mesh, fine_tiles=True)
+    np.testing.assert_array_equal(d2, s2)
