@@ -185,6 +185,8 @@ class Segmentation2D(Masks):
     binarize = Parameter(default=True)
     threshold = Parameter(default=0.01)
     dilation = Parameter(default=1)
+    #: flip-averaged test-time augmentation (models/unet.py _fwd_program)
+    tta = Parameter(default=False)
 
     def requires(self):
         return {"images": self._upstream(),
@@ -222,7 +224,8 @@ class Segmentation2D(Masks):
             metas.append(fin)
         batch = np.stack(imgs)
 
-        probs = segmentation_inference(model, params, batch)  # (N, C, H, W)
+        probs = segmentation_inference(model, params, batch,
+                                       tta=bool(self.tta))  # (N, C, H, W)
         if probs.dtype == np.uint8:   # quantized transfer (unet.py)
             probs = probs.astype(np.float32) / 255.0
 

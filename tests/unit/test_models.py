@@ -85,6 +85,28 @@ def test_segmentation_inference_layout():
     np.testing.assert_allclose(probs_f.sum(axis=1), 1.0, atol=1e-4)
 
 
+def test_segmentation_inference_tta():
+    """Flip-TTA: valid distribution, and exactly the plain/flipped average
+    (both evaluated by the same compiled program)."""
+    from plant3dvision_tpu.models import create_unet
+    from plant3dvision_tpu.models.unet import segmentation_inference
+    model, params = create_unet(jax.random.PRNGKey(0),
+                                input_shape=(1, 32, 32, 3),
+                                widths=(8, 16), blocks_per_stage=1,
+                                n_classes=4)
+    imgs = (np.random.rand(2, 32, 48, 3) * 255).astype(np.uint8)
+    p = segmentation_inference(model, params, imgs, batch_size=2,
+                               output_dtype="float32")
+    pf = segmentation_inference(model, params, imgs[:, :, ::-1],
+                                batch_size=2, output_dtype="float32")
+    t = segmentation_inference(model, params, imgs, batch_size=2,
+                               output_dtype="float32", tta=True)
+    assert t.shape == p.shape
+    np.testing.assert_allclose(t.sum(axis=1), 1.0, atol=1e-4)
+    np.testing.assert_allclose(t, 0.5 * (p + pf[:, :, :, ::-1]),
+                               atol=2e-3)
+
+
 def test_torch_state_dict_converter_hermetic():
     """Hermetic converter test (the real romiseg checkpoint is not
     redistributable — reference get_model.sh:10-12): a torch-layout
