@@ -10,15 +10,24 @@ mkdir -p "$DB" && touch "$DB/romidb"
 
 PYTHONPATH="$REPO" python - <<EOF
 from plant3dvision_tpu.fsdb import FSDB
-from plant3dvision_tpu.synth import generate_ml_scan
+from plant3dvision_tpu.synth import SyntheticPlant, generate_ml_scan
 db = FSDB("$DB"); db.connect(unsafe=True)
-generate_ml_scan(db, "ml_smoke", n_views=24, width=256, height=256)
+# real-arabidopsis-like sparsity (same morphology as the integration
+# suite, tests/integration/test_ml_pipeline.py): the visual hull can only
+# instance-separate organs that don't overlap, and ml_pipe_synth.toml's
+# organ filters (min_fruit_size=10) are tuned for this scale
+plant = SyntheticPlant(n_fruits=7, divergence_deg=137.5, internode=14.0,
+                       stem_radius=2.5, fruit_radius=2.0,
+                       fruit_length=35.0, fruit_elevation_deg=55.0,
+                       first_node=25.0)
+generate_ml_scan(db, "ml_smoke", n_views=36, width=256, height=256,
+                 plant=plant)
 db.disconnect()
 EOF
 
 # train a small model on the scan's rendered GT masks
 PYTHONPATH="$REPO" python -m plant3dvision_tpu.models.train "$DB/ml_smoke" \
-    --epochs 8 --batch-size 4 --widths 16,32,64 --model-id smoke_unet
+    --epochs 12 --batch-size 4 --widths 16,32,64 --model-id smoke_unet
 
 PYTHONPATH="$REPO" python -m plant3dvision_tpu.runtime.cli \
     AnglesAndInternodes "$DB/ml_smoke" --config "$REPO/configs/ml_pipe_synth.toml" \

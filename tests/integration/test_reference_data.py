@@ -293,14 +293,110 @@ def test_virtual_plant_ml_route_cnn(virtual_db):
     ev = json.loads(ctx.scan.get_fileset(
         _fileset_of(ctx.scan, report, "AnglesAndInternodesEvaluation"))
         .get_files()[0].read_raw())
-    # measured with the CNN in the loop (round 3, min_fruit_size 2.0):
-    # 23 angles of the 41 organs, DTW ncost 0.118, mean angle error
-    # 19.5 deg — guards with regression headroom (reference's own
-    # oracle is len(angles) > 10)
-    assert len(out["angles"]) >= 18, out["angles"]
-    assert len(out["angles"]) <= 41
+    # measured with the CNN in the loop (round 3, SOFT probability masks
+    # + level_set 0.2 + eps 0.3): ALL 42 fixture fruits become clusters,
+    # 41 angles, DTW ncost 0.197, mean angle error 25.9 deg. That is AT
+    # the fixture's own oracle ceiling: measuring angles directly from
+    # the GT OBJ geometry (perfect segmentation, pedicel-based azimuths)
+    # scores ncost 0.219-0.236 / 23.6-24.3 deg against the metadata GT —
+    # the lpy metadata angles disagree with the exported mesh geometry
+    # by ~20 deg per organ (see test_virtual_plant_oracle_ceiling).
+    # Guards with regression headroom (reference's oracle: len > 10).
+    assert len(out["angles"]) >= 38, out["angles"]
+    assert len(out["angles"]) <= 42
     assert ev["normalized_cost"] < 0.25, ev["normalized_cost"]
     assert ev["mean_angle_error"] < 30.0, ev["mean_angle_error"]
+
+
+def test_virtual_plant_oracle_ceiling(virtual_db):
+    """The fixture's accuracy CEILING, measured from its own ground-truth
+    geometry: angles/internodes extracted directly from the GT OBJ mesh
+    (perfect segmentation — each of the 42 fruit/pedicel components is
+    one organ, azimuth from the stem axis through the pedicel) and
+    DTW-scored against the VirtualPlant metadata the evaluation tasks use
+    (reference tasks/evaluation.py:652-662).
+
+    Result: even this oracle scores ncost ~0.22 / ~24 deg mean angle
+    error — the lpy metadata records the L-system's COMMANDED divergence
+    angles/internodes, while the exported mesh realizes them with
+    tropism/noise (internode correlation between mesh and metadata is
+    ~0). Any pipeline output at full organ count that scores <= the
+    oracle is at the fixture's measurement floor; the ML-route guard
+    (ncost < 0.25 at 41 angles) sits there deliberately."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import connected_components
+
+    from plant3dvision_tpu.evaluation import align_sequences
+    from plant3dvision_tpu.fsdb.io import read_obj_materials
+
+    scan = virtual_db.get_scan("virtual_plant")
+    obj = None
+    for fs_id in scan.list_filesets():
+        if fs_id.startswith("VirtualPlant"):
+            for f in scan.get_fileset(fs_id).get_files():
+                if f.filename and f.filename.endswith(".obj"):
+                    obj = f.path()
+    assert obj is not None
+    meshes = read_obj_materials(obj)
+
+    def comps(mtl):
+        mesh = meshes[mtl]
+        v = mesh.vertices[:, [0, 2, 1]].copy()
+        v[:, 1] *= -1   # lpy -> scanner frame (tasks/evaluation.py GT swap)
+        t = np.asarray(mesh.triangles)
+        rows = np.concatenate([t[:, 0], t[:, 1], t[:, 2]])
+        cols = np.concatenate([t[:, 1], t[:, 2], t[:, 0]])
+        g = sp.coo_matrix((np.ones(len(rows)), (rows, cols)),
+                          shape=(len(v), len(v)))
+        nc, lab = connected_components(g, directed=False)
+        return [v[lab == k] for k in range(nc) if (lab == k).sum() >= 10]
+
+    ped, fruit = comps("pedicel"), comps("fruit")
+    # fixture facts: 42 fruits (41 GT angles), uniform organ sizes
+    assert len(ped) == 42 and len(fruit) == 42
+
+    sv = meshes["stem"].vertices[:, [0, 2, 1]].copy()
+    sv[:, 1] *= -1
+    cx = np.polyfit(sv[:, 2], sv[:, 0], 5)
+    cy = np.polyfit(sv[:, 2], sv[:, 1], 5)
+
+    def axis_at(z):
+        return np.array([np.polyval(cx, z), np.polyval(cy, z), z])
+
+    organs = []
+    for pts in ped:
+        ax_xy = np.stack([np.polyval(cx, pts[:, 2]),
+                          np.polyval(cy, pts[:, 2])], 1)
+        d = np.linalg.norm(pts[:, :2] - ax_xy, axis=1)
+        base, tip = pts[np.argmin(d)], pts[np.argmax(d)]
+        organs.append({"base": base,
+                       "dir": (tip - base) / np.linalg.norm(tip - base)})
+    organs.sort(key=lambda o: o["base"][2])
+
+    angles, inodes = [], []
+    for p, c in zip(organs[:-1], organs[1:]):
+        zm = (p["base"][2] + c["base"][2]) / 2
+        sd = axis_at(zm + 1.0) - axis_at(zm - 1.0)
+        sd /= np.linalg.norm(sd)
+
+        def perp(dd):
+            q = dd - np.dot(dd, sd) * sd
+            return q / max(np.linalg.norm(q), 1e-12)
+
+        u, w = perp(p["dir"]), perp(c["dir"])
+        ang = np.arccos(np.clip(np.dot(u, w), -1, 1))
+        if np.dot(np.cross(u, w), sd) < 0:
+            ang = 2 * np.pi - ang
+        angles.append(float(np.degrees(ang)))
+        inodes.append(float(np.linalg.norm(c["base"] - p["base"])))
+
+    gt_angles, gt_inodes = fixtures.virtual_plant_ground_truth(scan)
+    ev = align_sequences(angles, inodes, np.degrees(gt_angles), gt_inodes,
+                         free_ends=0.4, free_ends_eps=1e-2)
+    # the ceiling: commanded-vs-realized mismatch keeps even the oracle
+    # around ncost 0.22 / 24 deg (measured 0.2191 / 24.3)
+    assert 0.15 < ev["normalized_cost"] < 0.30, ev["normalized_cost"]
+    assert 18.0 < ev["mean_angle_error"] < 30.0, ev["mean_angle_error"]
 
 
 def test_virtual_plant_ml_route_organ_angles(virtual_db):
