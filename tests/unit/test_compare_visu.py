@@ -185,3 +185,16 @@ def test_dash_explorer_interactive_html(temp_db, tmp_path):
     assert '"points": [[' in html          # embedded cloud
     assert '"angles":' in html
     assert out.stat().st_size > 20000
+
+    # --serve requires dash/plotly: absent here, it must fail fast with a
+    # clear message (exit 2), not a traceback.
+    try:
+        import dash  # noqa: F401
+        import plotly  # noqa: F401
+    except ImportError:
+        r2 = subprocess.run(
+            [sys.executable, str(repo / "bin" / "dash_explorer"),
+             str(scans[0].db.path() / scans[0].id), "--serve"],
+            env=env, capture_output=True, text=True, timeout=300)
+        assert r2.returncode == 2, (r2.returncode, r2.stderr[-2000:])
+        assert "dash/plotly are not installed" in r2.stderr
