@@ -318,6 +318,48 @@ def _exact_tiles(pts_p, cams, valid, tiles, Ht, Wt, H, W):
     return kill, hit, over
 
 
+def _exact_tiles_slots(pts_p, vsel, vvalid, cams, tiles, Ht, Wt, H, W):
+    """Slot-compacted tile row-gather fine level: _exact_tiles semantics,
+    but each parent's children test only the parent's (<= K) straddling
+    views (vsel/vvalid from `_topk_slots`) instead of all V — K x P
+    row-gathers instead of V x P, and the `_pick32` select tree runs K
+    times instead of V times.  Bit-identical to the dense tile path
+    because the dense path masks non-straddling views out anyway
+    (`killc & cand_c`).  Returns (kill (P, f3), hit (P, f3),
+    overflow int32) — same 24-px window contract as `_exact_tiles`."""
+    P_, f3 = pts_p.shape[0], pts_p.shape[1]
+
+    def one_slot(xs):
+        vk, okk = xs                                    # (P,), (P,)
+        cam = jnp.take(cams, vk, axis=0)                # (P, 16)
+        R = cam[:, 4:13].reshape(P_, 3, 3)
+        t = cam[:, 13:16]
+        p = jnp.einsum("pcj,pij->pci", pts_p, R) + t[:, None, :]
+        pz = p[..., 2]
+        px = (p[..., 0] / pz * cam[:, 0, None] + cam[:, 2, None]).astype(jnp.int32)
+        py = (p[..., 1] / pz * cam[:, 1, None] + cam[:, 3, None]).astype(jnp.int32)
+        in_img = (pz > 0) & (px >= 0) & (px <= W - 1) & (py >= 0) & (py <= H - 1)
+        in_img = in_img & okk[:, None]
+        cx = jnp.clip(px, 0, W - 1)                     # (P, f3)
+        cy = jnp.clip(py, 0, H - 1)
+        x0 = cx.min(axis=1)
+        y0 = cy.min(axis=1)
+        over = (((cx.max(axis=1) - x0 > 24) | (cy.max(axis=1) - y0 > 24))
+                & in_img.any(axis=1))
+        tx = jnp.right_shift(x0, 3)
+        ty = jnp.right_shift(y0, 3)
+        rows = vk * (Ht * Wt) + ty * Wt + tx            # (P,)
+        T = jnp.take(tiles, rows, axis=0)               # (P, 32) row-gather
+        dy = jnp.clip(cy - ty[:, None] * 8, 0, 31)
+        dx = jnp.clip(cx - tx[:, None] * 8, 0, 31)
+        word = _pick32(T, dy)
+        m = ((word >> dx) & 1) != 0
+        return in_img & ~m, in_img & m, jnp.sum(over, dtype=jnp.int32)
+
+    kill_s, hit_s, over_s = jax.lax.map(one_slot, (vsel.T, vvalid.T))
+    return kill_s.any(0), hit_s.any(0), jnp.sum(over_s, dtype=jnp.int32)
+
+
 def _exact_local(pts, cams, valid, masks_packed, H, W):
     """(kill, hit) over (V_local, M): exact single-pixel reference test."""
 
@@ -471,6 +513,16 @@ def _make_carve_body(axis, H, W, shape,
                         corners_p, vsel, vvalid_s, cams_l,
                         pmax_l.reshape(-1), pmin_l.reshape(-1), Lflat,
                         level_off, level_w, H, W, n_levels)
+                elif fine_tiles:
+                    pts_p = (origin_j[None, None, :]
+                             + children.reshape(cap, f3, 3) * vs)
+                    kill_a, hit_a, over_s = _exact_tiles_slots(
+                        pts_p, vsel, vvalid_s, cams_l, tiles, Ht_t, Wt_t,
+                        H, W)
+                    if axis is not None:
+                        over_s = jax.lax.psum(over_s, axis)
+                    overflow = over_s
+                    und_a = jnp.zeros_like(kill_a)
                 else:
                     pts_p = (origin_j[None, None, :]
                              + children.reshape(cap, f3, 3) * vs)

@@ -302,6 +302,21 @@ def knn_graph_csr(points, k):
     return g.maximum(g.T)
 
 
+def radius_graph_csr(points, radius):
+    """Symmetric fixed-radius graph as a scipy CSR matrix of Euclidean
+    weights (reference proc3d.radius_graph role, proc3d.py:186-209 — unused
+    by the reference pipeline itself but part of its public graph API)."""
+    import scipy.sparse as sp
+    from sklearn.neighbors import NearestNeighbors
+    points = np.asarray(points)
+    nn = NearestNeighbors(radius=radius).fit(points)
+    dist, idx = nn.radius_neighbors(points)
+    rows = np.concatenate([np.full(len(ii), i) for i, ii in enumerate(idx)])
+    g = sp.coo_matrix((np.concatenate(dist), (rows, np.concatenate(idx))),
+                      shape=(len(points), len(points))).tocsr()
+    return g.maximum(g.T)
+
+
 def connect_csr_graph(g, points, root_index):
     """Connect all components to the root component by iteratively adding the
     shortest bridging edge (reference connect_graph, proc3d.py:212-263)."""

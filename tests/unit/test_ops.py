@@ -389,3 +389,27 @@ def test_backprojection_multilabel(temp_db):
             [f for f in fs.get_files() if f.get_metadata("channel") == label],
             "camera")
         np.testing.assert_array_equal(vol[i], ref)
+
+
+def test_graphs_knn_and_radius():
+    from plant3dvision_tpu.proc3d import knn_graph_csr, radius_graph_csr
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(0, 10, size=(50, 3))
+    gk = knn_graph_csr(pts, 4)
+    gr = radius_graph_csr(pts, 3.0)
+    for g in (gk, gr):
+        assert g.shape == (50, 50)
+        assert (g != g.T).nnz == 0  # symmetric
+    # radius graph: every stored edge weight is a true pairwise distance
+    # within the radius, and every pair within the radius has an edge
+    from scipy.spatial.distance import cdist
+    d = cdist(pts, pts)
+    rows, cols = gr.nonzero()
+    assert np.allclose(gr[rows, cols], d[rows, cols])
+    assert (d[rows, cols] <= 3.0).all()
+    want = (d <= 3.0) & (d > 0)
+    have = np.zeros_like(want)
+    have[rows, cols] = True
+    # zero-distance pairs aside (their explicit-zero weights drop out of
+    # the sparse nonzero view), coverage is exact
+    assert (want == have).all()

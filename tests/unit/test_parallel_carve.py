@@ -138,6 +138,14 @@ def test_fused_fine_tiles_and_slots_match_dense():
     f_slots = carve_fused(masks, cams, valid, origin, 0.5, shape,
                           fine_tiles=False, slot_caps=(4, 4))
     np.testing.assert_array_equal(d, f_slots)
+    # slots + tiles combined (slot-compacted tile row-gathers at the
+    # exact level), incl. the packed-alive output lane
+    f_both = carve_fused(masks, cams, valid, origin, 0.5, shape,
+                         fine_tiles=True, slot_caps=(4, 4))
+    np.testing.assert_array_equal(d, f_both)
+    a_both = carve_fused(masks, cams, valid, origin, 0.5, shape,
+                         fine_tiles=True, slot_caps=(4, 4), out="alive")
+    np.testing.assert_array_equal(a_both, d == 1)
 
 
 def test_fused_fine_tiles_window_overflow_falls_back():
