@@ -59,12 +59,60 @@ class FusedCarving(RomiTask):
     #: decode/upload chunk: image decode+threshold+pack of chunk i+1
     #: overlaps the (async) device_put of chunk i
     chunk_views = Parameter(default=32, significant=False)
+    #: split the views into this many equal groups and carve group g on
+    #: the device (in a worker thread) WHILE the host decodes group g+1.
+    #: Carving is a pure per-view intersection (kill/seen sets OR over
+    #: views), so the per-group label volumes merge exactly:
+    #: -1 if any group killed, else 1 if any group saw, else 0 — the
+    #: merged volume is bit-identical to the single-pass carve
+    #: (tests/integration/test_fused.py). Groups are padded to equal
+    #: view counts with valid=False rows so every group reuses ONE
+    #: compiled program. 1 = off (single-pass).
+    overlap_groups = Parameter(default=1, significant=False)
+
+    def _decode_group(self, items, ex, pad_to, state):
+        """Decode+threshold+bit-pack `items`, async-upload in chunks.
+
+        Returns (packed_dev (pad_to, HW/8) uint8, cams (pad_to, 16),
+        valid (pad_to,) bool). Pad rows are zero masks with valid=False
+        (every engine honors `valid`, ops/carving.py:65).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        chunk = max(int(self.chunk_views), 1)
+        parts, cams_l = [], []
+        for i in range(0, len(items), chunk):
+            batch = list(ex.map(state["load"], items[i:i + chunk]))
+            parts.append(jax.device_put(np.stack([b[0] for b in batch])))
+            cams_l += [b[1] for b in batch]
+        n = len(items)
+        if pad_to > n:
+            pad = np.zeros((pad_to - n, parts[0].shape[1]), np.uint8)
+            parts.append(jax.device_put(pad))
+            cams_l += [cams_l[-1]] * (pad_to - n)
+        packed_dev = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+        cams = np.stack(cams_l)
+        valid = np.arange(pad_to) < n
+        return packed_dev, cams, valid
+
+    def _carve_group(self, packed_dev, cams, valid, origin, vs, shape, hw):
+        H, W = hw
+        if str(self.engine) == "pv":
+            from ..ops.carving_pv import PerViewCarver
+            carver = PerViewCarver((len(cams), H, W), cams, valid,
+                                   packed=packed_dev)
+            return carver.carve(origin, vs, shape)
+        if str(self.engine) == "fused":
+            from ..parallel.carving_mp import carve_fused
+            return carve_fused(None, cams, valid, origin, vs, shape,
+                               packed=packed_dev, hw=(H, W))
+        from ..parallel.carving_fp import carve_fused_pairs
+        return carve_fused_pairs(None, cams, valid, origin, vs, shape,
+                                 packed=packed_dev, hw=(H, W))
 
     def run(self):
         from concurrent.futures import ThreadPoolExecutor
-
-        import jax
-        import jax.numpy as jnp
 
         from ..ops.carving import camera_from_metadata
         from ..ops.masks import compute_mask_numpy
@@ -102,23 +150,6 @@ class FusedCarving(RomiTask):
             shape_hw["hw"] = m.shape
             return np.packbits(m.reshape(-1)), camera_from_metadata(cam)
 
-        # chunked decode -> ASYNC device upload: device_put returns
-        # immediately, so chunk i's host->device transfer rides under
-        # chunk i+1's decode/threshold/pack (VERDICT r2 #4: ingest was
-        # ~half of FusedCarving's wall time, fully serial)
-        chunk = max(int(self.chunk_views), 1)
-        parts, cams_l = [], []
-        with ThreadPoolExecutor(max_workers=8) as ex:
-            for i in range(0, len(selected), chunk):
-                batch = list(ex.map(_load_pack, selected[i:i + chunk]))
-                parts.append(jax.device_put(np.stack([b[0] for b in batch])))
-                cams_l += [b[1] for b in batch]
-        packed_dev = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
-        cams = np.stack(cams_l)
-        valid = np.ones(len(cams), bool)
-        H, W = shape_hw["hw"]
-        logger.info(f"FusedCarving: {len(cams)} views at {W}x{H}")
-
         bbox = self._resolve_bounding_box()
         vs = float(self.voxel_size)
         x_min, x_max = bbox["x"]; y_min, y_max = bbox["y"]; z_min, z_max = bbox["z"]
@@ -127,19 +158,43 @@ class FusedCarving(RomiTask):
         origin = np.array([x_min, y_min, z_min])  # float64 for metadata parity
         logger.info(f"FusedCarving: grid {shape} at {vs} mm")
 
-        if str(self.engine) == "pv":
-            from ..ops.carving_pv import PerViewCarver
-            carver = PerViewCarver((len(cams), H, W), cams, valid,
-                                   packed=packed_dev)
-            vol = carver.carve(origin, vs, shape)
-        elif str(self.engine) == "fused":
-            from ..parallel.carving_mp import carve_fused
-            vol = carve_fused(None, cams, valid, origin, vs, shape,
-                              packed=packed_dev, hw=(H, W))
-        else:
-            from ..parallel.carving_fp import carve_fused_pairs
-            vol = carve_fused_pairs(None, cams, valid, origin, vs, shape,
-                                    packed=packed_dev, hw=(H, W))
+        n = len(selected)
+        groups = max(int(self.overlap_groups), 1)
+        if groups > n:
+            groups = 1
+        gsize = -(-n // groups)
+        state = {"load": _load_pack}
+
+        # chunked decode -> ASYNC device upload: device_put returns
+        # immediately, so chunk i's host->device transfer rides under
+        # chunk i+1's decode/threshold/pack (VERDICT r2 #4: ingest was
+        # ~half of FusedCarving's wall time, fully serial). With
+        # overlap_groups > 1 the CARVE of group g (dispatched into a
+        # single worker thread; decode/device waits release the GIL)
+        # also rides under group g+1's decode.
+        vols = []
+        with ThreadPoolExecutor(max_workers=8) as ex, \
+                ThreadPoolExecutor(max_workers=1) as carve_ex:
+            futs = []
+            for g in range(groups):
+                items = selected[g * gsize:(g + 1) * gsize]
+                packed_dev, cams, valid = self._decode_group(
+                    items, ex, gsize if groups > 1 else len(items), state)
+                H, W = shape_hw["hw"]
+                if g == 0:
+                    logger.info(f"FusedCarving: {n} views at {W}x{H}"
+                                + (f" in {groups} overlapped groups"
+                                   if groups > 1 else ""))
+                futs.append(carve_ex.submit(
+                    self._carve_group, packed_dev, cams, valid,
+                    origin, vs, shape, (H, W)))
+            vols = [f.result() for f in futs]
+
+        vol = vols[0]
+        for v in vols[1:]:
+            # -1 (killed) dominates, else 1 (seen) over 0 (unobserved)
+            vol = np.where(np.minimum(vol, v) == -1,
+                           np.int8(-1), np.maximum(vol, v))
 
         outfile = self.output_file()
         io.write_volume(outfile, vol.astype(np.int32))

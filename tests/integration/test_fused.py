@@ -48,3 +48,15 @@ def test_fused_matches_task_chain():
         # metadata parity so downstream tasks are interchangeable
         assert ffile.get_metadata("voxel_size") == vfile.get_metadata("voxel_size")
         assert ffile.get_metadata("origin") == vfile.get_metadata("origin")
+
+        # decode||carve overlap: 3 uneven groups (7+7+6 views, padded to
+        # 7 with valid=False) must merge to the identical label volume
+        cfg_ovl = {"FusedCarving": dict(CFG_FUSED["FusedCarving"],
+                                        overlap_groups=3)}
+        ctx3 = RunContext(db, "s", cfg_ovl)
+        # overlap_groups is non-significant (same task id) — force re-run
+        ctx3.scan.delete_fileset(ctx3.get_task("FusedCarving").task_id())
+        run_task(ctx3, "FusedCarving", report=False)
+        ofile = ctx3.scan.get_fileset(
+            ctx3.get_task("FusedCarving").task_id()).get_files()[0]
+        np.testing.assert_array_equal(vol_chain, io.read_volume(ofile))
