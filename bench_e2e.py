@@ -55,14 +55,23 @@ def run_northstar(n_views=300, voxel=1.0, width=1440, height=1080,
         report = run_task(ctx, "AnglesAndInternodes", report=False)
         cold_s = time.perf_counter() - t0
 
-        # warm pass: all programs compiled; this is the per-scan
-        # production cost (a service processes many scans per process)
-        run_task(ctx, "Clean", report=False)
-        ctx2 = RunContext(db, "northstar", cfg)
-        t0 = time.perf_counter()
-        report = run_task(ctx2, "AnglesAndInternodes", report=False)
-        e2e_s = time.perf_counter() - t0
-        ctx = ctx2
+        # warm passes: all programs compiled; this is the per-scan
+        # production cost (a service processes many scans per process).
+        # Three passes, report the min AND all of them: the single host
+        # core + remote-device relay here add multi-second scheduling
+        # noise per pass (measured 4.2 vs 9.9 s for identical work), and
+        # the pass right after the cold one inherits its runtime
+        # housekeeping.
+        warm, reports = [], []
+        for _ in range(3):
+            run_task(ctx, "Clean", report=False)
+            ctx = RunContext(db, "northstar", cfg)
+            t0 = time.perf_counter()
+            reports.append(run_task(ctx, "AnglesAndInternodes",
+                                    report=False))
+            warm.append(time.perf_counter() - t0)
+        e2e_s = min(warm)
+        report = reports[int(np.argmin(warm))]
 
         fs = ctx.scan.get_fileset(report["AnglesAndInternodes"]["fileset"])
         out = json.loads(fs.get_file("AnglesAndInternodes").read_raw())
@@ -80,6 +89,7 @@ def run_northstar(n_views=300, voxel=1.0, width=1440, height=1080,
             "scan_generation_s": round(gen_s, 2),
             "cold_seconds": round(cold_s, 3),
             "e2e_seconds": round(e2e_s, 3),
+            "warm_passes_s": [round(w, 3) for w in warm],
             "task_seconds": task_times,
             "n_angles": len(angles),
             "mean_angle_error_deg": None if err is None else round(err, 3),

@@ -108,15 +108,23 @@ def compute_masks_batch(images, **kwargs):
 
 
 def compute_mask_numpy(image, filter_type="linear", coefs=(0.0, 1.0, 0.0),
-                       threshold=0.3, dilation_radius=0, binarize=True):
+                       threshold=0.3, dilation_radius=0, binarize=True,
+                       as_bool=False):
     """Pure-numpy compute_mask (identical semantics).
 
     The standalone Masks task uses this path: thresholding a uint8 image is
     memory-bound host work living between two PNG codecs — shipping the
     bytes to the accelerator per file costs more than the op. The jitted
     version exists for the fused on-device pipeline (tasks.fused).
+
+    as_bool=True (requires binarize) returns the bool mask directly —
+    skips a 4-bytes/px float32 materialization for consumers that
+    bit-pack or compare anyway (tasks/fused.py decodes 300 such masks
+    on one host core; the float copies were ~20% of its decode phase).
     """
     img = np.asarray(image)
+    if as_bool and not binarize:
+        raise ValueError("as_bool requires binarize=True")
 
     # fast lane: uint8 + linear + binarize with a single positive coef
     # reduces to one integer comparison (no float copies; GIL-friendly)
@@ -128,7 +136,7 @@ def compute_mask_numpy(image, filter_type="linear", coefs=(0.0, 1.0, 0.0),
             m = ch > (threshold * 255.0 / c[nz[0]])
             if dilation_radius > 0:
                 m = _dilate_np(m, dilation_radius)
-            return m.astype(np.float32)
+            return m if as_bool else m.astype(np.float32)
 
     if img.ndim == 2:
         img = img[..., None]
@@ -155,7 +163,7 @@ def compute_mask_numpy(image, filter_type="linear", coefs=(0.0, 1.0, 0.0),
     m = out > threshold
     if dilation_radius > 0:
         m = _dilate_np(m, dilation_radius)
-    return m.astype(np.float32)
+    return m if as_bool else m.astype(np.float32)
 
 
 def _dilate_np(m, radius):

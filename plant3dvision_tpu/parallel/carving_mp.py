@@ -28,6 +28,9 @@ from ..ops.carving_hier import (ALIVE, KILLED, UNDECIDED, UNSEEN,
                                 _CUBE_OFFS_F, _EPS_Z, _pyramid_shapes,
                                 pack_masks, unpack_masks_device)
 from ..ops.carving_pv import _box_cover
+from ..runtime.log import configure_logger
+
+logger = configure_logger(__name__)
 
 
 def _dilate2x2(x, neutral):
@@ -679,6 +682,14 @@ def make_fused_carver(H: int, W: int, shape,
     return jax.jit(body)
 
 
+#: per-geometry memory of the last cap set that carved without overflow:
+#: every carve_fused call otherwise restarts from the default caps and —
+#: when the workload needs bigger ones — pays a WASTED full carve per
+#: call before the retry (measured 2x warm cost on the 300-view
+#: overlapped northstar). Keyed by everything that shapes the program.
+_GOOD_CAPS: dict = {}
+
+
 def carve_fused(masks, cameras, valid, origin, voxel_size, shape,
                 caps=(8192, 32768), packed=None, hw=None, out="int8",
                 slot_caps=None, fine_tiles=True):
@@ -703,6 +714,12 @@ def carve_fused(masks, cameras, valid, origin, voxel_size, shape,
     caps = list(caps)
     slots = list(slot_caps) if slot_caps else None
     tiles_on = bool(fine_tiles)
+    key = (int(packed.shape[0]), H, W, tuple(shape), out,
+           tuple(caps), tuple(slots) if slots else None, tiles_on)
+    good = _GOOD_CAPS.get(key)
+    if good is not None:
+        caps, slots, tiles_on = list(good[0]), (
+            list(good[1]) if good[1] else None), good[2]
     while True:
         fn = make_fused_carver(H, W, tuple(shape), caps=tuple(caps),
                                packed_output=(out == "alive"),
@@ -719,6 +736,8 @@ def carve_fused(masks, cameras, valid, origin, voxel_size, shape,
         if slots is not None:
             ok = ok and all(int(s) <= k for s, k in zip(smax, slots[:nl]))
         if ok:
+            _GOOD_CAPS[key] = (tuple(caps),
+                               tuple(slots) if slots else None, tiles_on)
             if out == "alive":
                 n = int(np.prod(shape))
                 bits = np.unpackbits(np.asarray(vol))[:n]
@@ -727,6 +746,10 @@ def carve_fused(masks, cameras, valid, origin, voxel_size, shape,
         # a level overflowed: its result is invalid — re-jit with the next
         # power-of-two cap (counts from the overflowed run are exact,
         # they're computed on the dense status volume before compaction)
+        logger.info(f"carve_fused: cap overflow (undecided {und.tolist()} "
+                    f"vs caps {caps[:len(und)]}, slots {smax.tolist()} vs "
+                    f"{slots}, tile-over {over}) — recarving with bigger "
+                    "caps")
         caps = [_next_cap(int(n)) if n > c else c
                 for c, n in zip(caps, und)]
         if slots is not None:

@@ -144,7 +144,8 @@ class FusedCarving(RomiTask):
                 img, filter_type=str(self.type),
                 coefs=tuple(map(float, coefs)),
                 threshold=float(self.threshold),
-                dilation_radius=int(self.dilation), binarize=True) > 0.5
+                dilation_radius=int(self.dilation), binarize=True,
+                as_bool=True)
             if bool(self.invert):
                 m = ~m
             shape_hw["hw"] = m.shape
@@ -172,23 +173,49 @@ class FusedCarving(RomiTask):
         # overlap_groups > 1 the CARVE of group g (dispatched into a
         # single worker thread; decode/device waits release the GIL)
         # also rides under group g+1's decode.
+        import time as _time
+        t_run0 = _time.perf_counter()
+
+        def _timed_carve(g, *args):
+            t0 = _time.perf_counter() - t_run0
+            vol = self._carve_group(*args)
+            logger.info(f"FusedCarving: group {g} carve "
+                        f"{t0:.2f}s -> {_time.perf_counter() - t_run0:.2f}s")
+            return vol
+
+        # pause the cycle collector for the decode loop: its gen-2 scans
+        # hold the GIL and stall every decode thread, and a pipeline
+        # process carries a lot of live objects by the time this task
+        # runs (measured 2-3x decode slowdown inside the full-pipeline
+        # process vs a fresh one). All decode garbage is refcounted.
+        import gc
+        gc_was = gc.isenabled()
+        gc.disable()
         vols = []
-        with ThreadPoolExecutor(max_workers=8) as ex, \
-                ThreadPoolExecutor(max_workers=1) as carve_ex:
-            futs = []
-            for g in range(groups):
-                items = selected[g * gsize:(g + 1) * gsize]
-                packed_dev, cams, valid = self._decode_group(
-                    items, ex, gsize if groups > 1 else len(items), state)
-                H, W = shape_hw["hw"]
-                if g == 0:
-                    logger.info(f"FusedCarving: {n} views at {W}x{H}"
-                                + (f" in {groups} overlapped groups"
-                                   if groups > 1 else ""))
-                futs.append(carve_ex.submit(
-                    self._carve_group, packed_dev, cams, valid,
-                    origin, vs, shape, (H, W)))
-            vols = [f.result() for f in futs]
+        try:
+            with ThreadPoolExecutor(max_workers=8) as ex, \
+                    ThreadPoolExecutor(max_workers=1) as carve_ex:
+                futs = []
+                for g in range(groups):
+                    items = selected[g * gsize:(g + 1) * gsize]
+                    t0 = _time.perf_counter() - t_run0
+                    packed_dev, cams, valid = self._decode_group(
+                        items, ex, gsize if groups > 1 else len(items), state)
+                    logger.info(f"FusedCarving: group {g} decode "
+                                f"{t0:.2f}s -> "
+                                f"{_time.perf_counter() - t_run0:.2f}s")
+                    H, W = shape_hw["hw"]
+                    if g == 0:
+                        logger.info(f"FusedCarving: {n} views at {W}x{H}"
+                                    + (f" in {groups} overlapped groups"
+                                       if groups > 1 else ""))
+                    futs.append(carve_ex.submit(
+                        _timed_carve, g, packed_dev, cams, valid,
+                        origin, vs, shape, (H, W)))
+                vols = [f.result() for f in futs]
+        finally:
+            if gc_was:
+                gc.enable()
 
         vol = vols[0]
         for v in vols[1:]:
