@@ -13,6 +13,8 @@ Semantics mirror the reference's romitask/luigi runtime (SURVEY.md L1):
 
 from __future__ import annotations
 
+import contextlib
+import gc
 import hashlib
 import re
 
@@ -261,6 +263,27 @@ def _jsonable(v):
     return v
 
 
+@contextlib.contextmanager
+def paused_gc():
+    """Disable the cycle collector for a bulk decode/encode loop.
+
+    A pipeline process accumulates many live objects (fileset metadata,
+    jit caches); once it does, gen-2 collections triggered by the
+    allocation churn of image codecs hold the GIL and stall every IO
+    thread — measured 2-3x slowdown of the 300-image FusedCarving
+    decode phase inside a full-pipeline process vs a fresh one. Codec
+    garbage is acyclic (plain arrays), so refcounting reclaims it; the
+    collector just needs to stay out of the loop.
+    """
+    was = gc.isenabled()
+    gc.disable()
+    try:
+        yield
+    finally:
+        if was:
+            gc.enable()
+
+
 class FileByFileTask(RomiTask):
     """Maps ``f(input_file, output_fileset)`` over each upstream file
     matching `query`, copying file metadata to outputs
@@ -304,7 +327,7 @@ class FileByFileTask(RomiTask):
 
         # image decode/encode dominates; threads hide the codec latency
         # (device compute serializes on the accelerator regardless)
-        with self.ctx.scan.deferred_store():
+        with self.ctx.scan.deferred_store(), paused_gc():
             n = max(int(self.n_io_threads), 1)
             if n == 1 or len(files) < 4:
                 for fin in files:

@@ -183,39 +183,30 @@ class FusedCarving(RomiTask):
                         f"{t0:.2f}s -> {_time.perf_counter() - t_run0:.2f}s")
             return vol
 
-        # pause the cycle collector for the decode loop: its gen-2 scans
-        # hold the GIL and stall every decode thread, and a pipeline
-        # process carries a lot of live objects by the time this task
-        # runs (measured 2-3x decode slowdown inside the full-pipeline
-        # process vs a fresh one). All decode garbage is refcounted.
-        import gc
-        gc_was = gc.isenabled()
-        gc.disable()
+        # paused_gc: gen-2 collections otherwise stall the decode
+        # threads (2-3x measured inside a full-pipeline process)
+        from ..runtime.task import paused_gc
         vols = []
-        try:
-            with ThreadPoolExecutor(max_workers=8) as ex, \
-                    ThreadPoolExecutor(max_workers=1) as carve_ex:
-                futs = []
-                for g in range(groups):
-                    items = selected[g * gsize:(g + 1) * gsize]
-                    t0 = _time.perf_counter() - t_run0
-                    packed_dev, cams, valid = self._decode_group(
-                        items, ex, gsize if groups > 1 else len(items), state)
-                    logger.info(f"FusedCarving: group {g} decode "
-                                f"{t0:.2f}s -> "
-                                f"{_time.perf_counter() - t_run0:.2f}s")
-                    H, W = shape_hw["hw"]
-                    if g == 0:
-                        logger.info(f"FusedCarving: {n} views at {W}x{H}"
-                                    + (f" in {groups} overlapped groups"
-                                       if groups > 1 else ""))
-                    futs.append(carve_ex.submit(
-                        _timed_carve, g, packed_dev, cams, valid,
-                        origin, vs, shape, (H, W)))
-                vols = [f.result() for f in futs]
-        finally:
-            if gc_was:
-                gc.enable()
+        with paused_gc(), ThreadPoolExecutor(max_workers=8) as ex, \
+                ThreadPoolExecutor(max_workers=1) as carve_ex:
+            futs = []
+            for g in range(groups):
+                items = selected[g * gsize:(g + 1) * gsize]
+                t0 = _time.perf_counter() - t_run0
+                packed_dev, cams, valid = self._decode_group(
+                    items, ex, gsize if groups > 1 else len(items), state)
+                logger.info(f"FusedCarving: group {g} decode "
+                            f"{t0:.2f}s -> "
+                            f"{_time.perf_counter() - t_run0:.2f}s")
+                H, W = shape_hw["hw"]
+                if g == 0:
+                    logger.info(f"FusedCarving: {n} views at {W}x{H}"
+                                + (f" in {groups} overlapped groups"
+                                   if groups > 1 else ""))
+                futs.append(carve_ex.submit(
+                    _timed_carve, g, packed_dev, cams, valid,
+                    origin, vs, shape, (H, W)))
+            vols = [f.result() for f in futs]
 
         vol = vols[0]
         for v in vols[1:]:

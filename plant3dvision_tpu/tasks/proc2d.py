@@ -103,8 +103,10 @@ class Undistorted(FileByFileTask):
                    tuple(np.asarray(cam["dist"]).ravel()))
             groups.setdefault(key, []).append(fin)
 
+        from ..runtime.task import paused_gc
         chunk = 16
-        with self.ctx.scan.deferred_store(), ThreadPoolExecutor(8) as ex:
+        with self.ctx.scan.deferred_store(), paused_gc(), \
+                ThreadPoolExecutor(8) as ex:
             def _copy_through(fin):
                 fout = outfs.get_file(fin.id, create=True)
                 io.write_image(fout, io.read_image(fin), self._out_ext(fin))
@@ -210,9 +212,11 @@ class Segmentation2D(Masks):
         files = images_fs.get_files(query=self.query or None)
         logger.info(f"Segmentation2D: {len(files)} images, labels={labels}")
 
-        imgs, metas = [], []
+        from ..runtime.task import paused_gc
+
         Sx, Sy = int(self.Sx), int(self.Sy)
-        for fin in files:
+
+        def _load(fin):
             img = io.read_image(fin)
             if img.ndim == 2:
                 img = np.repeat(img[..., None], 3, axis=-1)
@@ -220,8 +224,12 @@ class Segmentation2D(Masks):
             # center crop to (Sy, Sx) as the reference does (:351)
             y0 = max((H - Sy) // 2, 0)
             x0 = max((W - Sx) // 2, 0)
-            imgs.append(img[y0: y0 + Sy, x0: x0 + Sx, :3])
-            metas.append(fin)
+            return img[y0: y0 + Sy, x0: x0 + Sx, :3]
+
+        from concurrent.futures import ThreadPoolExecutor
+        with paused_gc(), ThreadPoolExecutor(max_workers=8) as ex:
+            imgs = list(ex.map(_load, files))
+        metas = list(files)
         batch = np.stack(imgs)
 
         probs = segmentation_inference(model, params, batch,
@@ -230,6 +238,12 @@ class Segmentation2D(Masks):
             probs = probs.astype(np.float32) / 255.0
 
         outfs = self.output().get()
+        with paused_gc():
+            self._write_channels(outfs, metas, labels, probs)
+
+    def _write_channels(self, outfs, metas, labels, probs):
+        from ..ops.masks import binary_dilation
+        import jax.numpy as jnp
         for i, fin in enumerate(metas):
             for c, label in enumerate(labels):
                 if self.single_label and label != self.single_label:
