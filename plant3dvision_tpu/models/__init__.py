@@ -7,8 +7,10 @@ batched inference, dp+tp shardable training step (parallel/train.py).
 """
 
 from .unet import ResUNet, SEGMENTATION_LABELS, create_unet
+from .segnet import TPUSegNet, create_segnet
 
-__all__ = ["ResUNet", "SEGMENTATION_LABELS", "create_unet", "segmentation"]
+__all__ = ["ResUNet", "TPUSegNet", "SEGMENTATION_LABELS", "create_unet",
+           "create_segnet", "segmentation"]
 
 
 def segmentation(Sx, Sy, image_files, model_file, batch_size=4):

@@ -57,9 +57,19 @@ def load_model(file):
     params, config = params_from_npz_bytes(file.read_raw())
     params = _upcast_f16(params)
     labels = config.get("label_names") or SEGMENTATION_LABELS
-    model = ResUNet(n_classes=len(labels),
-                    widths=tuple(config.get("widths", (64, 128, 256, 512))),
-                    blocks_per_stage=int(config.get("blocks_per_stage", 2)))
+    arch = config.get("arch", "resunet")
+    if arch == "tpusegnet":
+        from .segnet import TPUSegNet
+        model = TPUSegNet(
+            n_classes=len(labels),
+            widths=tuple(config.get("widths", (128, 256, 256))),
+            blocks_per_stage=int(config.get("blocks_per_stage", 2)),
+            patch=int(config.get("patch", 4)))
+    else:
+        model = ResUNet(
+            n_classes=len(labels),
+            widths=tuple(config.get("widths", (64, 128, 256, 512))),
+            blocks_per_stage=int(config.get("blocks_per_stage", 2)))
     return model, params, config
 
 

@@ -148,15 +148,27 @@ def build_training_set(n_procedural=12, views_per_plant=18, crop=448,
 STEPS_PER_CALL = 25
 
 
+def _make_model(arch, rng_key, crop, widths, blocks_per_stage):
+    if arch == "tpusegnet":
+        from . import create_segnet
+        return create_segnet(rng_key, input_shape=(1, crop, crop, 3),
+                             widths=tuple(widths),
+                             blocks_per_stage=blocks_per_stage,
+                             n_classes=len(LABELS))
+    from . import create_unet
+    return create_unet(rng_key, input_shape=(1, crop, crop, 3),
+                       widths=tuple(widths),
+                       blocks_per_stage=blocks_per_stage,
+                       n_classes=len(LABELS))
+
+
 def train_on_crops(rgb, lab, widths=(24, 48, 96, 192), blocks_per_stage=2,
                    steps=3000, batch_size=8, lr=3e-3, seed=0,
-                   val_fraction=0.05):
+                   val_fraction=0.05, arch="resunet"):
     """Device-resident training loop; returns (params, config, history)."""
     import jax
     import jax.numpy as jnp
     import optax
-
-    from . import create_unet
 
     n, c, _, _ = rgb.shape
     n_val = max(int(n * val_fraction), 2)
@@ -164,11 +176,8 @@ def train_on_crops(rgb, lab, widths=(24, 48, 96, 192), blocks_per_stage=2,
     perm = rng.permutation(n)
     val_idx, train_idx = perm[:n_val], perm[n_val:]
 
-    model, params = create_unet(jax.random.PRNGKey(seed),
-                                input_shape=(1, c, c, 3),
-                                widths=tuple(widths),
-                                blocks_per_stage=blocks_per_stage,
-                                n_classes=len(LABELS))
+    model, params = _make_model(arch, jax.random.PRNGKey(seed), c,
+                                widths, blocks_per_stage)
     n_params = sum(x.size for x in jax.tree.leaves(params))
     logger.info(f"model: widths={widths} blocks={blocks_per_stage} "
                 f"params={n_params / 1e6:.2f} M")
@@ -255,6 +264,7 @@ def train_on_crops(rgb, lab, widths=(24, 48, 96, 192), blocks_per_stage=2,
     logger.info(f"held-out crop IoU: {val}")
 
     config = {"label_names": LABELS, "widths": list(widths),
+              "arch": arch,
               "blocks_per_stage": blocks_per_stage,
               "train": {"steps": steps, "batch_size": batch_size, "lr": lr,
                         "n_crops": int(n), "crop": int(c),
@@ -320,6 +330,8 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--lr", type=float, default=3e-3)
     ap.add_argument("--widths", default="24,48,96,192")
+    ap.add_argument("--arch", default="resunet",
+                    choices=["resunet", "tpusegnet"])
     ap.add_argument("--crop", type=int, default=448)
     ap.add_argument("--n-procedural", type=int, default=12)
     ap.add_argument("--views-per-plant", type=int, default=18)
@@ -330,7 +342,6 @@ def main(argv=None):
 
     import jax
 
-    from . import create_unet
     from .checkpoint import params_to_npz_bytes
 
     logger.info(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
@@ -350,14 +361,16 @@ def main(argv=None):
                                 meta=json.dumps(meta))
 
     widths = tuple(int(x) for x in args.widths.split(","))
+    if args.arch == "tpusegnet" and args.widths == "24,48,96,192":
+        widths = (128, 256, 256)    # the TPU-shaped default
     params, config, history = train_on_crops(
         rgb, lab, widths=widths, steps=args.steps,
-        batch_size=args.batch_size, lr=args.lr, seed=args.seed)
+        batch_size=args.batch_size, lr=args.lr, seed=args.seed,
+        arch=args.arch)
     config["dataset"] = meta
 
-    model, _ = create_unet(jax.random.PRNGKey(0),
-                           input_shape=(1, args.crop, args.crop, 3),
-                           widths=widths, n_classes=len(LABELS))
+    model, _ = _make_model(args.arch, jax.random.PRNGKey(0), args.crop,
+                           widths, 2)
     if not args.skip_fixture_eval:
         fx = evaluate_on_fixture(model, params)
         if fx:
