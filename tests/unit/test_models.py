@@ -145,3 +145,55 @@ def test_torch_state_dict_converter_hermetic():
     # shape-signature matching can permute same-shaped tensors, but for
     # this architecture (distinct widths per stage) outputs must agree
     np.testing.assert_allclose(got, ref, atol=2e-4)
+
+
+def test_tpusegnet_forward_and_checkpoint(temp_db):
+    """TPU-shaped seg model: s2d/d2s inverse, full-res logits, arch-tagged
+    checkpoint loads back as TPUSegNet (models/segnet.py)."""
+    from plant3dvision_tpu.models import create_segnet
+    from plant3dvision_tpu.models.checkpoint import load_model, save_model
+    from plant3dvision_tpu.models.segnet import (TPUSegNet, depth_to_space,
+                                                 space_to_depth)
+
+    x = jnp.arange(2 * 16 * 16 * 3, dtype=jnp.float32).reshape(2, 16, 16, 3)
+    np.testing.assert_array_equal(
+        np.asarray(depth_to_space(space_to_depth(x, 4), 4)), np.asarray(x))
+
+    model, params = create_segnet(jax.random.PRNGKey(0),
+                                  input_shape=(1, 64, 64, 3),
+                                  widths=(16, 32), blocks_per_stage=1,
+                                  n_classes=4)
+    logits = model.apply(params, jnp.zeros((2, 64, 64, 3)))
+    assert logits.shape == (2, 64, 64, 4)
+    assert logits.dtype == jnp.float32
+
+    scan = temp_db.create_scan("segnet_scan")
+    fs = scan.create_fileset("models")
+    f = fs.create_file("tiny_segnet")
+    save_model(f, params, {"label_names": ["a", "b", "c", "d"],
+                           "arch": "tpusegnet", "widths": [16, 32],
+                           "blocks_per_stage": 1, "patch": 4})
+    model2, params2, config = load_model(f)
+    assert isinstance(model2, TPUSegNet)
+    x = jnp.linspace(0, 1, 2 * 64 * 64 * 3).reshape(2, 64, 64, 3)
+    np.testing.assert_allclose(np.asarray(model.apply(params, x)),
+                               np.asarray(model2.apply(params2, x)),
+                               atol=1e-5)
+
+
+def test_tpusegnet_inference_api():
+    """segmentation_inference is architecture-generic: works with the
+    TPU-shaped model including non-multiple-of-patch crops (padding)."""
+    from plant3dvision_tpu.models import create_segnet
+    from plant3dvision_tpu.models.unet import segmentation_inference
+
+    model, params = create_segnet(jax.random.PRNGKey(0),
+                                  input_shape=(1, 96, 96, 3),
+                                  widths=(16, 32), blocks_per_stage=1,
+                                  n_classes=3)
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (3, 90, 70, 3), dtype=np.uint8)
+    probs = segmentation_inference(model, params, imgs, batch_size=2,
+                                   output_dtype="float32")
+    assert probs.shape == (3, 3, 90, 70)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-3)
