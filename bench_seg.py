@@ -43,17 +43,14 @@ def main():
 
     from plant3dvision_tpu.models import create_unet
     from plant3dvision_tpu.models.checkpoint import (_upcast_f16,
+                                                     model_from_config,
                                                      params_from_npz_bytes)
-    from plant3dvision_tpu.models.unet import ResUNet, SEGMENTATION_LABELS
 
     ckpt = Path(args.checkpoint)
     if ckpt.exists():
         params, config = params_from_npz_bytes(ckpt.read_bytes())
         params = _upcast_f16(params)
-        labels = config.get("label_names", SEGMENTATION_LABELS)
-        model = ResUNet(n_classes=len(labels),
-                        widths=tuple(config.get("widths", (64, 128, 256, 512))),
-                        blocks_per_stage=int(config.get("blocks_per_stage", 2)))
+        model = model_from_config(config)
         src = "checkpoint"
     else:
         model, params = create_unet(jax.random.PRNGKey(0),
@@ -98,6 +95,7 @@ def main():
         "median_step_s": round(float(np.median(times)), 4),
         "compile_s": round(compile_s, 1),
         "params_source": src,
+        "arch": config.get("arch", "resunet"),
         "widths": config.get("widths"),
         "protocol": "device-resident batch, softmax included, "
                     "scalar-forced, min of %d" % args.steps,

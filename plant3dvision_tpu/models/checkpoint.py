@@ -53,24 +53,28 @@ def load_model(file):
     Checkpoints may be stored float16 (train_synth saves them halved);
     params are upcast to float32 here — the model casts to bfloat16
     internally for the MXU path."""
-    from .unet import ResUNet, SEGMENTATION_LABELS
     params, config = params_from_npz_bytes(file.read_raw())
     params = _upcast_f16(params)
+    return model_from_config(config), params, config
+
+
+def model_from_config(config: dict):
+    """Instantiate the architecture a checkpoint's config describes
+    ('arch': 'resunet' (default, romiseg-parity) or 'tpusegnet')."""
+    from .unet import ResUNet, SEGMENTATION_LABELS
     labels = config.get("label_names") or SEGMENTATION_LABELS
     arch = config.get("arch", "resunet")
     if arch == "tpusegnet":
         from .segnet import TPUSegNet
-        model = TPUSegNet(
+        return TPUSegNet(
             n_classes=len(labels),
             widths=tuple(config.get("widths", (128, 256, 256))),
             blocks_per_stage=int(config.get("blocks_per_stage", 2)),
             patch=int(config.get("patch", 4)))
-    else:
-        model = ResUNet(
-            n_classes=len(labels),
-            widths=tuple(config.get("widths", (64, 128, 256, 512))),
-            blocks_per_stage=int(config.get("blocks_per_stage", 2)))
-    return model, params, config
+    return ResUNet(
+        n_classes=len(labels),
+        widths=tuple(config.get("widths", (64, 128, 256, 512))),
+        blocks_per_stage=int(config.get("blocks_per_stage", 2)))
 
 
 def _upcast_f16(params):
