@@ -61,11 +61,15 @@ def main():
     params = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16)
         if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, params)
+    params = jax.device_put(params)   # else numpy params re-upload per call
 
     @jax.jit
     def fwd(p, x):
         logits = model.apply(p, x.astype(jnp.bfloat16) / 255.0)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        # (B, C, H, W) on device, like the production inference path:
+        # NHWC would materialize a 21x lane-padded output buffer
+        probs = probs.transpose(0, 3, 1, 2)
         # scalar pull forces real completion through the tunnel
         return probs, probs.mean()
 

@@ -145,6 +145,12 @@ def _fwd_program(model, H, W, cdt_str, is_uint8, quantize, tta=False):
             # fixture renders it lifts fruit IoU .733 -> .752 and pedicel
             # soft-recall .886 -> .906 for 2x (cheap, MXU-bound) compute
             probs = 0.5 * (probs + apply(x[:, :, ::-1])[:, :, ::-1])
+        # transpose to (B, C, H, W) ON DEVICE — the API's output layout,
+        # and the only TPU-friendly one: NHWC's 6-channel minor dim pads
+        # to the 128 vector lanes (a 21x-inflated output buffer; measured
+        # 0.4 s/batch extra just materializing it), while NCHW's minor
+        # dim W tiles exactly. XLA fuses the softmax into the transpose.
+        probs = probs.transpose(0, 3, 1, 2)
         if quantize:
             # device->host links can be the bottleneck (remote TPU relay
             # here; PCIe elsewhere): ship probabilities as uint8/255 —
@@ -179,6 +185,10 @@ def segmentation_inference(model, params, images, batch_size=8,
     params_c = jax.tree.map(
         lambda x: x.astype(cdt) if jnp.issubdtype(x.dtype, jnp.floating)
         else x, params)
+    # checkpoint-loaded params are host numpy arrays: without an explicit
+    # device_put they would re-cross the host->device link on EVERY jit
+    # call (measured +300 ms/batch for 14 MB of params on this relay)
+    params_c = jax.device_put(params_c)
     # the compiled program is cached across calls (a fresh closure per
     # call would recompile the full CNN every time — tens of seconds of
     # remote XLA compile per Segmentation2D task invocation)
@@ -201,5 +211,4 @@ def segmentation_inference(model, params, images, batch_size=8,
             outs.append(np.asarray(res)[:n_valid])
     for res, n_valid in pending:
         outs.append(np.asarray(res)[:n_valid])
-    probs = np.concatenate(outs)
-    return np.moveaxis(probs, -1, 1)  # (N, C, H, W)
+    return np.concatenate(outs)       # (N, C, H, W), transposed on device

@@ -34,7 +34,11 @@ def accumulate_label_views(vol, probs, cams, valid, origin, voxel_size,
     multi-label averaging volume.
 
     vol : (C, nx, ny, nz) float32 accumulator (running sum).
-    probs : (B, H, W, C) float32 in [0, 1] — CNN softmax outputs.
+    probs : (B, C, H, W) float32 in [0, 1] — CNN softmax outputs in the
+        device layout _fwd_program produces (channel-second: the W-minor
+        layout tiles the 128 vector lanes exactly, while an NHWC
+        6-channel minor would pad 21x — and the per-class gathers here
+        read dense rows instead of padded C-vectors).
     cams : (B, 16); valid : (B,) bool (padded batches).
     log_mode : reference Voxels `log=True` semantics — accumulate
         log(eps + p) (cl.py:145-152 via tasks/cl.py:171-174).
@@ -42,15 +46,15 @@ def accumulate_label_views(vol, probs, cams, valid, origin, voxel_size,
     Returns the updated (C, nx, ny, nz) accumulator. Bilinear sampling
     at the continuous projection (matches ops.carving.average).
     """
-    B, H, W, C = probs.shape
+    B, C, H, W = probs.shape
     origin = jnp.asarray(origin, jnp.float32)
     voxel_size = jnp.float32(voxel_size)
-    flat = probs.reshape(B, H * W, C)
+    flat = probs.reshape(B, C, H * W)
     if log_mode:
         flat = jnp.log(EPS + flat)
 
     def body(acc, inputs):
-        view, cam, ok = inputs
+        view, cam, ok = inputs                  # view: (C, H*W)
         px, py, pxi, pyi, in_img = _project(cam, origin, voxel_size,
                                             shape, W, H)
         x0 = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, W - 2)
@@ -59,16 +63,16 @@ def accumulate_label_views(vol, probs, cams, valid, origin, voxel_size,
         fy = jnp.clip(py - y0.astype(jnp.float32), 0.0, 1.0)
 
         def g(yy, xx):
-            # one gather of a C-vector per voxel: all labels at once
+            # per-class row gathers from the dense (C, H*W) view
             return jnp.take(view, (yy * W + xx).reshape(-1),
-                            axis=0).reshape(*shape, C)
+                            axis=1).reshape(C, *shape)
 
-        val = (g(y0, x0) * ((1 - fx) * (1 - fy))[..., None]
-               + g(y0, x0 + 1) * (fx * (1 - fy))[..., None]
-               + g(y0 + 1, x0) * ((1 - fx) * fy)[..., None]
-               + g(y0 + 1, x0 + 1) * (fx * fy)[..., None])
-        w = jnp.where(in_img & ok, 1.0, 0.0)[..., None]
-        return acc + jnp.moveaxis(val * w, -1, 0), None
+        val = (g(y0, x0) * ((1 - fx) * (1 - fy))[None]
+               + g(y0, x0 + 1) * (fx * (1 - fy))[None]
+               + g(y0 + 1, x0) * ((1 - fx) * fy)[None]
+               + g(y0 + 1, x0 + 1) * (fx * fy)[None])
+        w = jnp.where(in_img & ok, 1.0, 0.0)[None]
+        return acc + val * w, None
 
     acc, _ = jax.lax.scan(body, vol, (flat, cams, valid))
     return acc

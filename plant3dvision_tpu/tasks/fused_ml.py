@@ -88,6 +88,8 @@ class FusedSegmentationCarving(RomiTask):
         params_c = jax.tree.map(
             lambda x: x.astype(jnp.bfloat16)
             if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+        # numpy params would re-cross the host->device link every batch
+        params_c = jax.device_put(params_c)
         fwd = _fwd_program(model, Sy, Sx, "bfloat16", True, False)
 
         B = int(self.batch_size)
