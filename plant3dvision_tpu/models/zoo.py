@@ -15,6 +15,15 @@ REPO = Path(__file__).resolve().parents[2]
 #: fruit 0.73 / leaf 0.90 / stem 0.74, plant union 0.914.
 DEFAULT_CHECKPOINT = REPO / "checkpoints" / "unet_seg.npz"
 
+#: The TPU-shaped alternative (models/segnet.py, 7.55M params): 129 vs
+#: 70 img/s at 896^2 on one v5e (SEG_BENCH.json) because every conv runs
+#: at >=128 channels (the vector-lane width). Fixture-render IoU fruit
+#: 0.760 / leaf 0.904 / stem 0.748 / pedicel 0.520, plant union 0.905;
+#: fixture ML route 41 angles / DTW ncost 0.212 / 27.5 deg (ResUNet:
+#: 0.197 / 25.9 — both at the fixture's oracle ceiling, see
+#: tests/integration/test_reference_data.py::test_virtual_plant_oracle_ceiling).
+TPUSEGNET_CHECKPOINT = REPO / "checkpoints" / "tpusegnet_seg.npz"
+
 
 def install_checkpoint(db, scan_id="models", model_id="unet_seg",
                        path=None):

@@ -456,3 +456,31 @@ def test_virtual_plant_ml_route_organ_angles(virtual_db):
     # at quality level, not collapse level (VERDICT r2 weak #2)
     assert ev["normalized_cost"] < 0.35, ev["normalized_cost"]
     assert len(out["angles"]) >= 35, len(out["angles"])
+
+
+def test_tpusegnet_checkpoint_fixture_iou():
+    """The committed TPU-shaped checkpoint (models/segnet.py — all convs
+    at >=128 channels, 129 vs 70 img/s on the v5e, SEG_BENCH.json) holds
+    segmentation quality on the 18 never-seen fixture renders: floors at
+    / slightly under the ResUNet checkpoint's measured values (fruit
+    .760 / leaf .904 / stem .748 / pedicel .520, plant union .905).
+    Its fixture ML route measures 41 angles / ncost 0.212 / 27.5 deg —
+    at the fixture's oracle ceiling like the ResUNet route."""
+    from plant3dvision_tpu.models.checkpoint import (_upcast_f16,
+                                                     model_from_config,
+                                                     params_from_npz_bytes)
+    from plant3dvision_tpu.models.segnet import TPUSegNet
+    from plant3dvision_tpu.models.train_synth import evaluate_on_fixture
+    from plant3dvision_tpu.models.zoo import TPUSEGNET_CHECKPOINT
+
+    if not TPUSEGNET_CHECKPOINT.exists():
+        pytest.skip("tpusegnet checkpoint missing")
+    params, config = params_from_npz_bytes(TPUSEGNET_CHECKPOINT.read_bytes())
+    model = model_from_config(config)
+    assert isinstance(model, TPUSegNet)
+    fx = evaluate_on_fixture(model, _upcast_f16(params))
+    assert fx["plant"]["iou"] > 0.85, fx
+    assert fx["fruit"]["iou"] > 0.65, fx
+    assert fx["leaf"]["iou"] > 0.85, fx
+    assert fx["stem"]["iou"] > 0.65, fx
+    assert fx["pedicel"]["iou"] > 0.40, fx
