@@ -67,8 +67,10 @@ class FusedCarving(RomiTask):
     #: merged volume is bit-identical to the single-pass carve
     #: (tests/integration/test_fused.py). Groups are padded to equal
     #: view counts with valid=False rows so every group reuses ONE
-    #: compiled program. 1 = off (single-pass).
-    overlap_groups = Parameter(default=1, significant=False)
+    #: compiled program. 0 = auto (3 groups when the scan has >= 150
+    #: views, where decode dominates; else single-pass — each distinct
+    #: group size costs one program compile); 1 = off.
+    overlap_groups = Parameter(default=0, significant=False)
 
     def _decode_group(self, items, ex, pad_to, state):
         """Decode+threshold+bit-pack `items`, async-upload in chunks.
@@ -160,7 +162,10 @@ class FusedCarving(RomiTask):
         logger.info(f"FusedCarving: grid {shape} at {vs} mm")
 
         n = len(selected)
-        groups = max(int(self.overlap_groups), 1)
+        groups = int(self.overlap_groups)
+        if groups == 0:
+            groups = 3 if n >= 150 else 1
+        groups = max(groups, 1)
         if groups > n:
             groups = 1
         gsize = -(-n // groups)
