@@ -165,10 +165,10 @@ class FusedCarving(RomiTask):
         groups = int(self.overlap_groups)
         if groups == 0:
             groups = 3 if n >= 150 else 1
-        groups = max(groups, 1)
-        if groups > n:
-            groups = 1
+        groups = min(max(groups, 1), n)
         gsize = -(-n // groups)
+        groups = -(-n // gsize)   # drop groups the ceil split left empty
+        #                           (e.g. 4 views / 3 groups -> 2+2)
         state = {"load": _load_pack}
 
         # chunked decode -> ASYNC device upload: device_put returns
