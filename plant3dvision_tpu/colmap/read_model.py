@@ -215,3 +215,40 @@ def points_to_dict(points):
     return {str(pid): {"xyz": pt.xyz.tolist(), "rgb": pt.rgb.tolist(),
                        "error": float(pt.error)}
             for pid, pt in points.items()}
+
+
+# -- dense MVS array codec (reference thirdparty/read_dense.py:36-51) --------
+#
+# COLMAP's patch_match_stereo writes depth/normal maps as
+# "<width>&<height>&<channels>&" ASCII header followed by float32 data in
+# column-major (Fortran) order.
+
+def read_array(path):
+    """Read a COLMAP dense depth/normal map (.photometric.bin /
+    .geometric.bin). Returns (H, W) for 1 channel, (H, W, C) otherwise."""
+    with open(path, "rb") as f:
+        header = b""
+        while header.count(b"&") < 3:
+            byte = f.read(1)
+            if not byte:
+                raise ValueError(f"truncated dense-map header in {path}")
+            header += byte
+        width, height, channels = (int(tok) for tok in
+                                   header.split(b"&")[:3])
+        data = np.fromfile(f, np.float32, count=width * height * channels)
+    if data.size != width * height * channels:
+        raise ValueError(f"truncated dense-map payload in {path}")
+    arr = data.reshape((width, height, channels), order="F")
+    return arr.transpose(1, 0, 2).squeeze()
+
+
+def write_array(arr, path):
+    """Write a float32 array in COLMAP's dense-map format (inverse of
+    read_array; the reference ships only the reader)."""
+    arr = np.asarray(arr, np.float32)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    height, width, channels = arr.shape
+    with open(path, "wb") as f:
+        f.write(f"{width}&{height}&{channels}&".encode())
+        arr.transpose(1, 0, 2).ravel(order="F").astype("<f4").tofile(f)

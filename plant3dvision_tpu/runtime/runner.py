@@ -46,6 +46,40 @@ def _destroy_output(task):
         pass
 
 
+class DBRunner:
+    """Batch runner: execute a task list over one or every scan of a DB
+    (role of romitask.runner.DBRunner, reference tests/unit/test_runner.py:3-16;
+    this is also what FSDBWatcher drives on newly appearing scans).
+
+    ``tasks`` is a list of task names/classes run in order per scan;
+    ``config`` is the TOML-style {TaskName: {param: value}} dict shared
+    by every scan's RunContext.
+    """
+
+    def __init__(self, db, tasks, config=None):
+        self.db = db
+        self.tasks = list(tasks)
+        self.config = config or {}
+
+    def run_scan(self, scan_id: str) -> dict:
+        """Run the task list on one scan; returns {task: report} merged."""
+        from .config import RunContext
+
+        ctx = RunContext(self.db, scan_id, self.config)
+        report: dict = {}
+        for t in self.tasks:
+            report.update(run_task(ctx, t, report=False))
+        return report
+
+    def run(self) -> dict:
+        """Run the task list on every scan in the DB: {scan_id: report}."""
+        reports = {}
+        for scan_id in sorted(self.db.list_scans()):
+            logger.info(f"DBRunner: scan {scan_id}")
+            reports[scan_id] = self.run_scan(scan_id)
+        return reports
+
+
 def run_task(ctx, task_name_or_cls, report=True) -> dict:
     """Resolve and run the dependency closure of a task bottom-up.
 

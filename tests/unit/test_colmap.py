@@ -281,3 +281,22 @@ def test_runner_newer_version_aligner_arg(temp_db, fake_colmap, tmp_path):
         assert runner.version == (3, 10)
     finally:
         os.environ.pop("FAKE_COLMAP_VERSION", None)
+
+
+def test_dense_array_codec(tmp_path):
+    """COLMAP dense depth/normal map codec (reference
+    thirdparty/read_dense.py:36-51 format: 'w&h&c&' + column-major f32)."""
+    from plant3dvision_tpu.colmap.read_model import read_array, write_array
+
+    depth = np.arange(15, dtype=np.float32).reshape(3, 5)
+    p = tmp_path / "img.jpg.photometric.bin"
+    write_array(depth, p)
+    # header is ASCII w&h&c& followed by Fortran-order float32 payload
+    raw = p.read_bytes()
+    assert raw.startswith(b"5&3&1&")
+    assert np.array_equal(read_array(p), depth)
+
+    normals = np.random.default_rng(0).normal(size=(4, 6, 3)).astype(np.float32)
+    p2 = tmp_path / "img.jpg.geometric.bin"
+    write_array(normals, p2)
+    assert np.array_equal(read_array(p2), normals)

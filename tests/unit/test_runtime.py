@@ -183,3 +183,29 @@ def test_watcher(temp_db):
         time.sleep(0.05)
     w.stop()
     assert seen == ["newscan"]
+
+
+def test_db_runner_over_scans(temp_db):
+    """DBRunner runs a task list over one scan / every scan in the DB
+    (reference tests/unit/test_runner.py:7-16, romitask.runner.DBRunner)."""
+    from plant3dvision_tpu.runtime.runner import DBRunner
+
+    for sid in ("scan_a", "scan_b"):
+        scan = temp_db.create_scan(sid)
+        images = scan.create_fileset("images")
+        f = images.create_file("00000_rgb")
+        f.write_raw(b"fake-image", "jpg")
+
+    runner = DBRunner(temp_db, ["TouchFileTask"], {})
+    rep = runner.run_scan("scan_a")
+    assert rep["TouchFileTask"]["status"] == "done"
+
+    reports = runner.run()
+    assert set(reports) == {"scan_a", "scan_b"}
+    # scan_a already ran: fileset-existence completeness skips it
+    assert reports["scan_a"]["TouchFileTask"]["status"] == "skipped"
+    assert reports["scan_b"]["TouchFileTask"]["status"] == "done"
+
+    # an empty task list is valid (reference test_runner.py runs DBRunner
+    # with tasks=[])
+    assert DBRunner(temp_db, [], {}).run() == {"scan_a": {}, "scan_b": {}}
