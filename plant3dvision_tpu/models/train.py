@@ -117,6 +117,27 @@ def train(images, labels_int, label_names, widths=(32, 64, 128),
     return params, config, history
 
 
+def resolve_training_config(config_path, cli_args):
+    """Merge defaults < [Training] TOML section < explicit CLI flags
+    (the reference binds its training preset the same way,
+    configs/training_seg.toml)."""
+    cfg = {"gt_fileset": "gt_masks", "epochs": 20, "batch_size": 4,
+           "lr": 3e-3, "widths": "32,64,128", "model_id": "unet_seg",
+           "max_images": None}
+    if config_path:
+        from ..runtime.config import load_toml
+        section = dict(load_toml(config_path).get("Training", {}))
+        if "learning_rate" in section:
+            section.setdefault("lr", section.pop("learning_rate"))
+        cfg.update({k: v for k, v in section.items()
+                    if k in cfg and v is not None})
+    for k in cfg:
+        v = cli_args.get(k)
+        if v is not None:
+            cfg[k] = v
+    return cfg
+
+
 def main(argv=None):
     from ..fsdb import FSDB
     from ..runtime.cli import parse_dataset
@@ -124,14 +145,23 @@ def main(argv=None):
 
     ap = argparse.ArgumentParser()
     ap.add_argument("dataset", help="<db>/<scan> with images + GT masks")
-    ap.add_argument("--gt-fileset", default="gt_masks")
-    ap.add_argument("--epochs", type=int, default=20)
-    ap.add_argument("--batch-size", type=int, default=4)
-    ap.add_argument("--lr", type=float, default=3e-3)
-    ap.add_argument("--widths", default="32,64,128")
-    ap.add_argument("--model-id", default="unet_seg")
+    ap.add_argument("--config", default=None,
+                    help="TOML preset with a [Training] section "
+                         "(configs/training_seg.toml); CLI flags override")
+    ap.add_argument("--gt-fileset", default=None)
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--lr", type=float, default=None)
+    ap.add_argument("--widths", default=None)
+    ap.add_argument("--model-id", default=None)
     ap.add_argument("--max-images", type=int, default=None)
     args = ap.parse_args(argv)
+
+    cfg = resolve_training_config(args.config, vars(args))
+    args.gt_fileset, args.model_id = cfg["gt_fileset"], cfg["model_id"]
+    args.epochs, args.batch_size = int(cfg["epochs"]), int(cfg["batch_size"])
+    args.lr, args.widths = float(cfg["lr"]), str(cfg["widths"])
+    args.max_images = cfg.get("max_images")
 
     db_path, scan_id = parse_dataset(args.dataset)
     db = FSDB(db_path)

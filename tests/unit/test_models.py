@@ -197,3 +197,27 @@ def test_tpusegnet_inference_api():
                                    output_dtype="float32")
     assert probs.shape == (3, 3, 90, 70)
     np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-3)
+
+
+def test_training_config_resolution(tmp_path):
+    """Trainer preset binding: defaults < [Training] TOML < CLI flags
+    (configs/training_seg.toml's [Training] section must actually drive
+    the trainer, not just document it)."""
+    from plant3dvision_tpu.models.train import resolve_training_config
+
+    toml = tmp_path / "t.toml"
+    toml.write_text('[Training]\nepochs = 7\nlearning_rate = 0.5\n'
+                    'model_id = "m1"\n')
+    cfg = resolve_training_config(str(toml), {"epochs": None, "lr": None,
+                                              "model_id": None})
+    assert cfg["epochs"] == 7 and cfg["lr"] == 0.5 and cfg["model_id"] == "m1"
+    assert cfg["gt_fileset"] == "gt_masks"          # default survives
+
+    cfg = resolve_training_config(str(toml), {"epochs": 3, "lr": None})
+    assert cfg["epochs"] == 3 and cfg["lr"] == 0.5  # CLI beats TOML
+
+    # the shipped preset resolves cleanly
+    from pathlib import Path
+    repo = Path(__file__).resolve().parents[2]
+    cfg = resolve_training_config(str(repo / "configs/training_seg.toml"), {})
+    assert cfg["epochs"] == 50 and cfg["model_id"] == "Resnet_896_896_epoch50"
