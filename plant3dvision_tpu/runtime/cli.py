@@ -75,6 +75,16 @@ def main(argv=None):
             except ValueError:
                 pass  # keep the raw string
         ctx.config.setdefault(task_name, {})[param] = value
+    # Back up the effective config into the scan dir (the reference's
+    # romitask CLI writes this `pipeline.toml`; tasks/colmap.py:389-427
+    # reads it back for calibration-scan compatibility checks).
+    if ctx.config:
+        try:
+            from .config import dump_toml
+            (ctx.scan.path() / "pipeline.toml").write_text(
+                dump_toml(ctx.config))
+        except Exception as e:
+            logger.warning(f"could not back up pipeline.toml: {e}")
     try:
         run_task(ctx, args.task)
     finally:

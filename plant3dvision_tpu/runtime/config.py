@@ -20,6 +20,38 @@ def load_toml(path) -> dict:
         return tomllib.load(f)
 
 
+def _toml_scalar(v):
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_toml_scalar(x) for x in v) + "]"
+    # JSON string escaping is a subset of TOML basic-string escaping
+    return json.dumps(str(v))
+
+
+def dump_toml(cfg: dict, _prefix: str = "") -> str:
+    """Minimal TOML emitter for pipeline configs (dict sections of
+    scalars/lists/nested dicts; None values are dropped — TOML has no
+    null). Round-trips through tomllib; used for the per-scan
+    `pipeline.toml` config backup the reference's romitask CLI writes
+    (read back by tasks/colmap.check_colmap_cfg)."""
+    lines, subsections = [], []
+    for k, v in cfg.items():
+        if v is None:
+            continue
+        if isinstance(v, dict):
+            subsections.append((f"{_prefix}{k}", v))
+        else:
+            lines.append(f"{k} = {_toml_scalar(v)}")
+    out = "\n".join(lines)
+    for name, sub in subsections:
+        body = dump_toml(sub, _prefix=f"{name}.")
+        out += f"\n\n[{name}]\n{body}" if body.strip() else f"\n\n[{name}]"
+    return out.lstrip("\n") + ("\n" if not out.endswith("\n") else "")
+
+
 class RunContext:
     def __init__(self, db: FSDB, scan_id: str, config: dict | None = None):
         self.db = db

@@ -19,6 +19,66 @@ from ..camera import compute_estimated_pose
 logger = configure_logger(__name__)
 
 
+def check_scan_parameters(scan, calibration_scan):
+    """Acquisition compatibility: both scans' `scan.toml` ScanPath sections
+    (class_name + kwargs) must match for calibrated poses to transfer
+    (reference tasks/colmap.py:315-387). A scan without a `scan.toml`
+    (virtual/synthetic datasets) cannot be checked: warn and pass.
+    """
+    import tomllib
+    sections = []
+    for s in (scan, calibration_scan):
+        p = s.path() / "scan.toml"
+        if not p.exists():
+            logger.warning(f"{s.id}: no scan.toml acquisition config — "
+                           "skipping ScanPath compatibility check")
+            return True
+        with open(p, "rb") as f:
+            sections.append(tomllib.load(f).get("ScanPath", {}))
+    cur, calib = sections
+    ok = True
+    if cur.get("class_name") != calib.get("class_name"):
+        logger.critical(
+            f"ScanPath.class_name differs: {scan.id} uses "
+            f"{cur.get('class_name')!r}, {calibration_scan.id} uses "
+            f"{calib.get('class_name')!r}")
+        ok = False
+    ka, kb = cur.get("kwargs", {}), calib.get("kwargs", {})
+    diff = sorted(k for k in set(ka) | set(kb) if ka.get(k) != kb.get(k))
+    if diff:
+        logger.critical(
+            f"ScanPath.kwargs differ between {scan.id} and "
+            f"{calibration_scan.id}: "
+            + ", ".join(f"{k}: {ka.get(k)!r} vs {kb.get(k)!r}" for k in diff))
+        ok = False
+    return ok
+
+
+def check_colmap_cfg(current_cfg, calibration_scan):
+    """The current Colmap parameters must match the ExtrinsicCalibration
+    section of the calibration scan's `pipeline.toml` config backup
+    (written by the romi_run_task CLI; reference tasks/colmap.py:389-427).
+
+    Raises ValueError on a missing backup or any mismatching parameter.
+    """
+    import tomllib
+    p = calibration_scan.path() / "pipeline.toml"
+    if not p.exists():
+        raise ValueError(
+            f"calibration scan '{calibration_scan.id}' has no pipeline.toml "
+            "config backup — cannot verify COLMAP compatibility")
+    with open(p, "rb") as f:
+        calib_cfg = tomllib.load(f).get("ExtrinsicCalibration", {})
+    bad = {k: (v, calib_cfg.get(k)) for k, v in current_cfg.items()
+           if calib_cfg.get(k) != v}
+    if bad:
+        detail = ", ".join(f"{k}: current {cur!r} vs calibration {cal!r}"
+                           for k, (cur, cal) in sorted(bad.items()))
+        raise ValueError(
+            f"cannot use calibration scan '{calibration_scan.id}': "
+            f"COLMAP parameters differ ({detail})")
+
+
 def get_cnc_poses(scan, images_fileset=None):
     """Per-image CNC pose [x, y, z] from 'approximate_pose' or 'pose'
     metadata (reference tasks/colmap.py:33-231)."""
@@ -364,21 +424,46 @@ class Colmap(RomiTask):
 
     def _inject_calibrated_poses(self, files):
         """Copy calibrated_pose metadata from an ExtrinsicCalibration scan
-        (reference tasks/colmap.py:234-312)."""
+        after verifying the scans are compatible (reference
+        tasks/colmap.py:234-312 + 682-707)."""
         calib_scan = self.ctx.db.get_scan(self.extrinsic_calibration_scan_id)
         if calib_scan is None:
             logger.warning("Extrinsic calibration scan not found: "
                            f"{self.extrinsic_calibration_scan_id}")
             return
+        if not check_scan_parameters(self.ctx.scan, calib_scan):
+            raise ValueError(
+                f"scan '{self.ctx.scan.id}' cannot be calibrated by "
+                f"'{calib_scan.id}': acquisition (ScanPath) parameters "
+                "differ")
+        if (calib_scan.path() / "pipeline.toml").exists():
+            check_colmap_cfg({"single_camera": bool(self.single_camera),
+                              "camera_model": str(self.camera_model)},
+                             calib_scan)
+        else:
+            logger.warning(f"{calib_scan.id}: no pipeline.toml config "
+                           "backup — skipping COLMAP parameter check")
         calib_imgs = calib_scan.get_fileset("images")
         if calib_imgs is None:
             return
-        for f in files:
+        calib_files = calib_imgs.get_files()
+        n_injected = 0
+        for i, f in enumerate(files):
+            # id-matched when possible; the reference pairs order-based
             src = calib_imgs.get_file(f.id)
-            if src is not None:
-                pose = src.get_metadata("calibrated_pose")
-                if pose is not None:
-                    f.set_metadata("calibrated_pose", pose)
+            if src is None and i < len(calib_files):
+                src = calib_files[i]
+            pose = src.get_metadata("calibrated_pose") if src else None
+            if pose is not None:
+                f.set_metadata("calibrated_pose", pose)
+                n_injected += 1
+        if n_injected == 0:
+            raise ValueError(
+                f"calibration scan '{calib_scan.id}' provided no "
+                "calibrated_pose metadata (run ExtrinsicCalibration or "
+                "TurntableCalibration on it first)")
+        logger.info(f"injected {n_injected}/{len(files)} calibrated poses "
+                    f"from {calib_scan.id}")
 
     def _pose_quality_check(self, files, estimated, outfs):
         """Compare COLMAP camera centers against CNC poses; flag images and

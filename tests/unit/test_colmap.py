@@ -300,3 +300,49 @@ def test_dense_array_codec(tmp_path):
     p2 = tmp_path / "img.jpg.geometric.bin"
     write_array(normals, p2)
     assert np.array_equal(read_array(p2), normals)
+
+
+def test_check_scan_parameters(temp_db):
+    """ScanPath acquisition compatibility between a scan and a calibration
+    scan (reference tasks/colmap.py:315-387)."""
+    from plant3dvision_tpu.tasks.colmap import check_scan_parameters
+
+    a = temp_db.create_scan("scan_sp_a")
+    b = temp_db.create_scan("scan_sp_b")
+    # no scan.toml on either side: unverifiable, passes with a warning
+    assert check_scan_parameters(a, b)
+
+    toml_a = ('[ScanPath]\nclass_name = "Circle"\n'
+              '[ScanPath.kwargs]\nn_points = 60\nradius = 350\n')
+    (a.path() / "scan.toml").write_text(toml_a)
+    (b.path() / "scan.toml").write_text(toml_a)
+    assert check_scan_parameters(a, b)
+
+    (b.path() / "scan.toml").write_text(
+        '[ScanPath]\nclass_name = "Circle"\n'
+        '[ScanPath.kwargs]\nn_points = 36\nradius = 350\n')
+    assert not check_scan_parameters(a, b)
+
+    (b.path() / "scan.toml").write_text(toml_a.replace("Circle", "Spiral"))
+    assert not check_scan_parameters(a, b)
+
+
+def test_check_colmap_cfg(temp_db):
+    """Colmap parameters must match the calibration scan's pipeline.toml
+    backup (reference tasks/colmap.py:389-427)."""
+    import pytest
+    from plant3dvision_tpu.tasks.colmap import check_colmap_cfg
+
+    calib = temp_db.create_scan("scan_cc")
+    cur = {"single_camera": True, "camera_model": "OPENCV"}
+    with pytest.raises(ValueError, match="pipeline.toml"):
+        check_colmap_cfg(cur, calib)
+
+    (calib.path() / "pipeline.toml").write_text(
+        '[ExtrinsicCalibration]\nsingle_camera = true\n'
+        'camera_model = "OPENCV"\n')
+    check_colmap_cfg(cur, calib)  # matches
+
+    with pytest.raises(ValueError, match="camera_model"):
+        check_colmap_cfg({"single_camera": True,
+                          "camera_model": "SIMPLE_RADIAL"}, calib)

@@ -209,3 +209,39 @@ def test_db_runner_over_scans(temp_db):
     # an empty task list is valid (reference test_runner.py runs DBRunner
     # with tasks=[])
     assert DBRunner(temp_db, [], {}).run() == {"scan_a": {}, "scan_b": {}}
+
+
+def test_dump_toml_roundtrip():
+    from plant3dvision_tpu.runtime.config import dump_toml
+    import tomllib
+
+    cfg = {"Voxels": {"voxel_size": 0.5, "labels": ["a", "b"], "log": True,
+                      "bounding_box": {"x": [300, 450], "y": [-175, 100]}},
+           "Masks": {"type": "linear", "parameters": "[0, 1, 0]",
+                     "threshold": 0.15, "skipped": None}}
+    back = tomllib.loads(dump_toml(cfg))
+    cfg["Masks"].pop("skipped")              # TOML has no null
+    assert back == cfg
+
+
+def test_cli_backs_up_pipeline_toml(temp_db, tmp_path):
+    """romi_run_task writes the effective config to <scan>/pipeline.toml
+    (the reference romitask CLI behavior check_colmap_cfg depends on,
+    reference tasks/colmap.py:402)."""
+    import tomllib
+    from plant3dvision_tpu.runtime import cli
+
+    scan = temp_db.create_scan("cli_backup")
+    images = scan.create_fileset("images")
+    images.create_file("00000_rgb").write_raw(b"x", "jpg")
+    cfg = tmp_path / "c.toml"
+    cfg.write_text("[TouchFileTask]\nupstream_task = \"ImagesFilesetExists\"\n")
+    rc = cli.main(["TouchFileTask", str(temp_db.path() / "cli_backup"),
+                   "--config", str(cfg),
+                   "--param", "TouchFileTask.scan_id=cli_backup"])
+    assert rc == 0
+    backup = scan.path() / "pipeline.toml"
+    assert backup.exists()
+    saved = tomllib.loads(backup.read_text())
+    assert saved["TouchFileTask"]["upstream_task"] == "ImagesFilesetExists"
+    assert saved["TouchFileTask"]["scan_id"] == "cli_backup"
