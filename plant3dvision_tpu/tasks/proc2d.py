@@ -189,6 +189,11 @@ class Segmentation2D(Masks):
     dilation = Parameter(default=1)
     #: flip-averaged test-time augmentation (models/unet.py _fwd_program)
     tta = Parameter(default=False)
+    #: inference batch: throughput scales well past 8 on TPU (measured
+    #: 896^2 TPUSegNet 129->372 img/s from batch 8 to 96, ResUNet 70->197
+    #: at 64; batch 128 OOMs a v5e — SEG_BENCH.json). 8 is the safe
+    #: default for small-memory devices; not significant for hashing.
+    batch_size = Parameter(default=8, significant=False)
 
     def requires(self):
         return {"images": self._upstream(),
@@ -233,6 +238,7 @@ class Segmentation2D(Masks):
         batch = np.stack(imgs)
 
         probs = segmentation_inference(model, params, batch,
+                                       batch_size=int(self.batch_size),
                                        tta=bool(self.tta))  # (N, C, H, W)
         if probs.dtype == np.uint8:   # quantized transfer (unet.py)
             probs = probs.astype(np.float32) / 255.0
