@@ -56,9 +56,11 @@ def test_full_geom_pipeline(synth_db):
     assert len(out["angles"]) > 10
     assert len(out["internodes"]) > 10
 
-    # accuracy oracle: known synthetic ground truth
+    # accuracy oracle: known synthetic ground truth (measured 0.29 deg
+    # mean with the junction-fillet-aware node sampling; was 0.57 at
+    # node_sampling_dist=10)
     err = _angle_error(out["angles"], np.full(N_FRUITS - 1, GT_DIV))
-    assert err < 2.0, f"mean angle error {err:.2f} deg: {out['angles']}"
+    assert err < 0.8, f"mean angle error {err:.2f} deg: {out['angles']}"
     internode_err = np.abs(np.asarray(out["internodes"]) - 6.0).mean()
     assert internode_err < 1.0, f"internode error {internode_err:.2f} mm"
 
