@@ -79,6 +79,31 @@ def check_colmap_cfg(current_cfg, calibration_scan):
             f"COLMAP parameters differ ({detail})")
 
 
+def camera_params_from_intrinsic_calibration(db, calibration_scan_id, model):
+    """Calibrated camera parameters (COLMAP layout) for `model` from a
+    calibration scan's IntrinsicCalibration camera_model.json (reference
+    tasks/colmap.py:614-648 `set_camera_params`, 'intrinsic' branch).
+    """
+    from ..utils import locate_task_filesets
+
+    scan = db.get_scan(calibration_scan_id)
+    if scan is None:
+        raise ValueError(f"intrinsic calibration scan not found: "
+                         f"{calibration_scan_id!r}")
+    fs_id = locate_task_filesets(scan, ["IntrinsicCalibration"]
+                                 )["IntrinsicCalibration"]
+    fs = scan.get_fileset(fs_id) if fs_id != "None" else None
+    if fs is None:
+        raise ValueError(f"scan '{calibration_scan_id}' has no "
+                         "IntrinsicCalibration fileset — run the "
+                         "IntrinsicCalibration task on it first")
+    results = io.read_json(fs.get_file("camera_model"))
+    if model not in results:
+        raise ValueError(f"IntrinsicCalibration of '{calibration_scan_id}' "
+                         f"has no {model!r} fit (has: {sorted(results)})")
+    return [float(p) for p in results[model]["params"]]
+
+
 def get_cnc_poses(scan, images_fileset=None):
     """Per-image CNC pose [x, y, z] from 'approximate_pose' or 'pose'
     metadata (reference tasks/colmap.py:33-231)."""
@@ -377,6 +402,24 @@ class Colmap(RomiTask):
         cli_args = dict(self.cli_args or {})
         if self.extrinsic_calibration_scan_id:
             self._inject_calibrated_poses(files)
+        if self.intrinsic_calibration_scan_id:
+            # fix the intrinsics to the calibrated values and stop the
+            # mapper's BA from refining them (reference tasks/colmap.py:
+            # 662-664 + set_camera_params :614-648; the reference forwards
+            # everything re-encoded as OPENCV, here the calibrated model's
+            # own COLMAP parameter layout is passed directly)
+            params = camera_params_from_intrinsic_calibration(
+                self.ctx.db, str(self.intrinsic_calibration_scan_id),
+                str(self.camera_model))
+            fe = cli_args.setdefault("feature_extractor", {})
+            fe["--ImageReader.camera_params"] = ",".join(
+                str(p) for p in params)
+            mapper = cli_args.setdefault("mapper", {})
+            mapper["--Mapper.ba_refine_focal_length"] = "0"
+            mapper["--Mapper.ba_refine_principal_point"] = "0"
+            mapper["--Mapper.ba_refine_extra_params"] = "0"
+            logger.info("fixed intrinsics from calibration scan "
+                        f"{self.intrinsic_calibration_scan_id}: {params}")
 
         runner = ColmapRunner(
             files, matcher=str(self.matcher),

@@ -346,3 +346,66 @@ def test_check_colmap_cfg(temp_db):
     with pytest.raises(ValueError, match="camera_model"):
         check_colmap_cfg({"single_camera": True,
                           "camera_model": "SIMPLE_RADIAL"}, calib)
+
+
+def test_colmap_task_fixed_intrinsics(temp_db, fake_colmap, tmp_path,
+                                      monkeypatch):
+    """intrinsic_calibration_scan_id fixes the camera parameters from the
+    calibration scan's camera_model.json and freezes the mapper's
+    intrinsic refinement (reference tasks/colmap.py:662-664, :614-648)."""
+    from plant3dvision_tpu.fsdb import io as fio
+    from plant3dvision_tpu.runtime import RunContext, run_task
+    from plant3dvision_tpu.tasks.colmap import (
+        camera_params_from_intrinsic_calibration)
+    import plant3dvision_tpu.colmap.runner as runner_mod
+
+    calib = temp_db.create_scan("calib_intr")
+    cm_fs = calib.create_fileset("IntrinsicCalibration_x_abc123")
+    fio.write_json(cm_fs.get_file("camera_model", create=True), {
+        "SIMPLE_RADIAL": {"model": "SIMPLE_RADIAL",
+                          "params": [1400.0, 720.0, 540.0, -0.02],
+                          "rms": 0.4},
+        "OPENCV": {"model": "OPENCV",
+                   "params": [1400.0, 1401.0, 720.0, 540.0,
+                              -0.02, 0.001, 0.0, 0.0], "rms": 0.3}})
+
+    params = camera_params_from_intrinsic_calibration(
+        temp_db, "calib_intr", "SIMPLE_RADIAL")
+    assert params == [1400.0, 720.0, 540.0, -0.02]
+    with pytest.raises(ValueError, match="no 'RADIAL' fit"):
+        camera_params_from_intrinsic_calibration(temp_db, "calib_intr",
+                                                 "RADIAL")
+    with pytest.raises(ValueError, match="not found"):
+        camera_params_from_intrinsic_calibration(temp_db, "nope", "OPENCV")
+
+    scan = temp_db.create_scan("s_intr")
+    images = scan.create_fileset("images")
+    for v in range(6):
+        f = images.create_file(f"{v:05d}_rgb")
+        f.write_raw(b"\xff\xd8fake", "jpg")
+        a = 2 * np.pi * v / 6
+        f.set_metadata({"channel": "rgb",
+                        "approximate_pose": [40 * np.cos(a), 40 * np.sin(a),
+                                             10.0, np.degrees(a), 0]})
+
+    captured = {}
+    real_runner = runner_mod.ColmapRunner
+
+    def capturing_runner(*args, **kwargs):
+        captured.update(kwargs.get("all_cli_args") or {})
+        return real_runner(*args, **kwargs)
+
+    monkeypatch.setattr(runner_mod, "ColmapRunner", capturing_runner)
+    os.environ["COLMAP_WD"] = str(tmp_path / "wd_intr")
+    try:
+        ctx = RunContext(temp_db, "s_intr", config={"Colmap": {
+            "intrinsic_calibration_scan_id": "calib_intr",
+            "camera_model": "SIMPLE_RADIAL", "align_pcd": True}})
+        report = run_task(ctx, "Colmap", report=False)
+    finally:
+        os.environ.pop("COLMAP_WD", None)
+    assert report["Colmap"]["status"] == "done"
+    fe = captured["feature_extractor"]
+    assert fe["--ImageReader.camera_params"] == "1400.0,720.0,540.0,-0.02"
+    assert captured["mapper"]["--Mapper.ba_refine_focal_length"] == "0"
+    assert captured["mapper"]["--Mapper.ba_refine_extra_params"] == "0"
