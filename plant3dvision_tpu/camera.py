@@ -141,3 +141,21 @@ def pose_to_extrinsics(camera_center, look_at=None, up=(0, 0, 1)):
     R = np.stack([right, down, fwd], axis=0)
     t = -R @ c
     return R, t
+
+
+def get_colmap_cameras_from_calib_scan(calibration_scan):
+    """COLMAP cameras JSON written by a calibration run on the given scan
+    (reference camera.py:393-406): searched in ExtrinsicCalibration, then
+    TurntableCalibration, then Colmap filesets."""
+    from .fsdb import io
+
+    for task in ("ExtrinsicCalibration", "TurntableCalibration", "Colmap"):
+        for fs_id in calibration_scan.list_filesets():
+            if task in fs_id:
+                f = calibration_scan.get_fileset(fs_id).get_file("cameras")
+                if f is not None:
+                    return io.read_json(f)
+    raise ValueError(
+        f"no calibration fileset with a 'cameras' file in scan "
+        f"'{calibration_scan.id}' — run ExtrinsicCalibration (or "
+        "TurntableCalibration) on it first")

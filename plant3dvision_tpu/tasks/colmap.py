@@ -389,6 +389,9 @@ class Colmap(RomiTask):
     query = Parameter(default={})
     intrinsic_calibration_scan_id = Parameter(default="")
     extrinsic_calibration_scan_id = Parameter(default="")
+    #: with an extrinsic calibration scan, also reuse its COLMAP camera as
+    #: fixed intrinsics (reference tasks/colmap.py:538, default True there)
+    use_calibration_camera = Parameter(default=True)
 
     retry_count = 10  # blind-angle retries (reference tasks/colmap.py:529)
 
@@ -402,7 +405,26 @@ class Colmap(RomiTask):
         cli_args = dict(self.cli_args or {})
         if self.extrinsic_calibration_scan_id:
             self._inject_calibrated_poses(files)
-        if self.intrinsic_calibration_scan_id:
+            if self.use_calibration_camera:
+                # reuse the calibration run's COLMAP camera as fixed
+                # intrinsics (reference tasks/colmap.py:660-661 +
+                # camera.py:393-406)
+                from ..camera import get_colmap_cameras_from_calib_scan
+                calib_scan = self.ctx.db.get_scan(
+                    str(self.extrinsic_calibration_scan_id))
+                cams = get_colmap_cameras_from_calib_scan(calib_scan)
+                cam = next(iter(cams.values()))
+                fe = cli_args.setdefault("feature_extractor", {})
+                fe["--ImageReader.camera_model"] = str(cam["model"])
+                fe["--ImageReader.camera_params"] = ",".join(
+                    str(float(p)) for p in cam["params"])
+                mapper = cli_args.setdefault("mapper", {})
+                mapper["--Mapper.ba_refine_focal_length"] = "0"
+                mapper["--Mapper.ba_refine_principal_point"] = "0"
+                mapper["--Mapper.ba_refine_extra_params"] = "0"
+                logger.info("fixed camera from calibration scan "
+                            f"{calib_scan.id}: {cam['model']} {cam['params']}")
+        elif self.intrinsic_calibration_scan_id:
             # fix the intrinsics to the calibrated values and stop the
             # mapper's BA from refining them (reference tasks/colmap.py:
             # 662-664 + set_camera_params :614-648; the reference forwards

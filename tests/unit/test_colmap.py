@@ -409,3 +409,86 @@ def test_colmap_task_fixed_intrinsics(temp_db, fake_colmap, tmp_path,
     assert fe["--ImageReader.camera_params"] == "1400.0,720.0,540.0,-0.02"
     assert captured["mapper"]["--Mapper.ba_refine_focal_length"] == "0"
     assert captured["mapper"]["--Mapper.ba_refine_extra_params"] == "0"
+
+
+def test_colmap_task_extrinsic_calibration_scan(temp_db, fake_colmap,
+                                                tmp_path, monkeypatch):
+    """Full extrinsic-calibration reuse: compatibility checks pass, poses
+    are injected, and the calibration COLMAP camera is fixed (reference
+    tasks/colmap.py:658-661 + use_precalibrated_poses :234-312)."""
+    from plant3dvision_tpu.fsdb import io as fio
+    from plant3dvision_tpu.runtime import RunContext, run_task
+    import plant3dvision_tpu.colmap.runner as runner_mod
+
+    scan_toml = ('[ScanPath]\nclass_name = "Circle"\n'
+                 '[ScanPath.kwargs]\nn_points = 6\nradius = 40\n')
+
+    calib = temp_db.create_scan("calib_ext")
+    (calib.path() / "scan.toml").write_text(scan_toml)
+    (calib.path() / "pipeline.toml").write_text(
+        '[ExtrinsicCalibration]\nsingle_camera = true\n'
+        'camera_model = "SIMPLE_RADIAL"\n')
+    calib_poses = []
+    calib_imgs = calib.create_fileset("images")
+    for v in range(6):
+        f = calib_imgs.create_file(f"{v:05d}_rgb")
+        f.write_raw(b"\xff\xd8fake", "jpg")
+        a = 2 * np.pi * v / 6
+        pose = [40 * np.cos(a) + 0.1, 40 * np.sin(a) - 0.1, 10.0]
+        calib_poses.append(pose)
+        f.set_metadata("calibrated_pose", pose)
+    ext_fs = calib.create_fileset("ExtrinsicCalibration_x_deadbeef")
+    fio.write_json(ext_fs.get_file("cameras", create=True), {
+        "1": {"id": 1, "model": "SIMPLE_RADIAL", "width": 1440,
+              "height": 1080, "params": [1400.0, 720.0, 540.0, -0.02]}})
+
+    scan = temp_db.create_scan("s_ext")
+    (scan.path() / "scan.toml").write_text(scan_toml)
+    images = scan.create_fileset("images")
+    for v in range(6):
+        f = images.create_file(f"{v:05d}_rgb")
+        f.write_raw(b"\xff\xd8fake", "jpg")
+        a = 2 * np.pi * v / 6
+        f.set_metadata({"channel": "rgb",
+                        "approximate_pose": [40 * np.cos(a), 40 * np.sin(a),
+                                             10.0, np.degrees(a), 0]})
+
+    captured = {}
+    real_runner = runner_mod.ColmapRunner
+
+    def capturing_runner(*args, **kwargs):
+        captured.update(kwargs.get("all_cli_args") or {})
+        return real_runner(*args, **kwargs)
+
+    monkeypatch.setattr(runner_mod, "ColmapRunner", capturing_runner)
+    os.environ["COLMAP_WD"] = str(tmp_path / "wd_ext")
+    try:
+        ctx = RunContext(temp_db, "s_ext", config={"Colmap": {
+            "extrinsic_calibration_scan_id": "calib_ext",
+            "camera_model": "SIMPLE_RADIAL", "align_pcd": True}})
+        report = run_task(ctx, "Colmap", report=False)
+    finally:
+        os.environ.pop("COLMAP_WD", None)
+    assert report["Colmap"]["status"] == "done"
+    # camera fixed from the calibration scan's COLMAP camera
+    fe = captured["feature_extractor"]
+    assert fe["--ImageReader.camera_model"] == "SIMPLE_RADIAL"
+    assert fe["--ImageReader.camera_params"] == "1400.0,720.0,540.0,-0.02"
+    # poses injected
+    poses = [f.get_metadata("calibrated_pose")
+             for f in ctx.scan.get_fileset("images").get_files()]
+    assert poses == calib_poses
+
+    # an incompatible acquisition config must refuse to calibrate
+    (scan.path() / "scan.toml").write_text(scan_toml.replace("40", "35"))
+    ctx2 = RunContext(temp_db, "s_ext", config={"Colmap": {
+        "extrinsic_calibration_scan_id": "calib_ext",
+        "camera_model": "SIMPLE_RADIAL", "align_pcd": True,
+        "cli_args": {"marker": {}}}})   # param change -> fresh fileset
+    os.environ["COLMAP_WD"] = str(tmp_path / "wd_ext2")
+    try:
+        with pytest.raises(Exception) as excinfo:
+            run_task(ctx2, "Colmap", report=False)
+        assert "acquisition" in str(excinfo.value.__cause__)
+    finally:
+        os.environ.pop("COLMAP_WD", None)
