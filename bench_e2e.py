@@ -96,6 +96,99 @@ def run_northstar(n_views=300, voxel=1.0, width=1440, height=1080,
         }
 
 
+def run_ml_northstar(n_views=126, size=896, voxel=0.15, batch=32):
+    """ML-route e2e on the chip: photo-domain renders -> committed
+    TPUSegNet -> FusedSegmentationCarving (CNN + multi-label averaging
+    carve, device-resident) -> multiclass PointCloud -> OrganSegmentation
+    -> organ angles, DTW-scored against the generator's known phyllotaxis.
+    In this environment the e2e time is dominated by the host->device
+    image transfer (axon tunnel); task_seconds records the split."""
+    from plant3dvision_tpu.evaluation import align_sequences
+    from plant3dvision_tpu.fsdb.testing import TemporaryDB
+    from plant3dvision_tpu.models.zoo import (TPUSEGNET_CHECKPOINT,
+                                              install_checkpoint)
+    from plant3dvision_tpu.runtime import RunContext, run_task
+    from plant3dvision_tpu.synth_photo import (ProceduralArabidopsis,
+                                               generate_photo_scan)
+
+    cfg = {
+        "ModelFilesetExists": {"scan_id": "models"},
+        "FusedSegmentationCarving": {
+            "upstream_task": "ImagesFilesetExists",
+            "camera_metadata": "camera", "voxel_size": voxel,
+            "Sx": size, "Sy": size, "batch_size": batch, "log": False,
+        },
+        # multiclass argmax + organ params mirror the fixture-proven
+        # configs/ml_pipe_virtual.toml (the photo plant is fixture-scale:
+        # fruit radius 0.3, siliques 3.5-9 units)
+        "PointCloud": {"upstream_task": "FusedSegmentationCarving",
+                       "level_set_value": 0.2, "background_prior": 1.0,
+                       "min_contrast": 1.0, "min_score": 0.01},
+        "OrganSegmentation": {"upstream_task": "PointCloud", "eps": 0.3,
+                              "min_points": 5},
+        "AnglesAndInternodes": {"upstream_task": "OrganSegmentation",
+                                "organ_type": "fruit",
+                                "min_fruit_size": 2.0,
+                                "min_elongation_ratio": 1.0,
+                                "characteristic_length": 1.0,
+                                "stem_axis": 2,
+                                "stem_axis_inverted": False},
+        "Clean": {"no_confirm": True},
+    }
+    plant = ProceduralArabidopsis(seed=1)
+    gt_angles = np.degrees(plant.gt_angles)
+    gt_internodes = np.asarray(plant.gt_internodes, float)
+
+    with TemporaryDB() as db:
+        t0 = time.perf_counter()
+        generate_photo_scan(db, "ml_northstar", n_views=n_views, width=size,
+                            height=size, plant=plant, with_gt_masks=False)
+        gen_s = time.perf_counter() - t0
+        install_checkpoint(db, path=TPUSEGNET_CHECKPOINT,
+                           model_id="tpusegnet_seg")
+        db._load_scans()
+
+        ctx = RunContext(db, "ml_northstar", cfg)
+        t0 = time.perf_counter()
+        run_task(ctx, "AnglesAndInternodes", report=False)
+        cold_s = time.perf_counter() - t0
+
+        warm, reports = [], []
+        for _ in range(2):
+            run_task(ctx, "Clean", report=False)
+            ctx = RunContext(db, "ml_northstar", cfg)
+            t0 = time.perf_counter()
+            reports.append(run_task(ctx, "AnglesAndInternodes",
+                                    report=False))
+            warm.append(time.perf_counter() - t0)
+        e2e_s = min(warm)
+        report = reports[int(np.argmin(warm))]
+
+        fs = ctx.scan.get_fileset(report["AnglesAndInternodes"]["fileset"])
+        out = json.loads(fs.get_file("AnglesAndInternodes").read_raw())
+        angles = np.asarray(out["angles"], float)
+        if len(angles) and angles.max() < 7:
+            angles = np.degrees(angles)
+        dtw = align_sequences(angles.tolist(), out["internodes"],
+                              gt_angles.tolist(), gt_internodes.tolist())
+        task_times = {k: round(v.get("seconds", 0.0), 3)
+                      for k, v in report.items() if isinstance(v, dict)}
+        return {
+            "n_views": n_views, "image_size": [size, size],
+            "voxel": voxel, "arch": "tpusegnet", "batch": batch,
+            "scan_generation_s": round(gen_s, 2),
+            "cold_seconds": round(cold_s, 3),
+            "e2e_seconds": round(e2e_s, 3),
+            "warm_passes_s": [round(w, 3) for w in warm],
+            "task_seconds": task_times,
+            "n_angles": len(angles), "n_gt": len(gt_angles),
+            "dtw_normalized_cost": round(float(dtw["normalized_cost"]), 4),
+            "mean_angle_error_deg": (
+                round(float(dtw["mean_angle_error"]), 2)
+                if dtw.get("mean_angle_error") is not None else None),
+        }
+
+
 def run_reference_fixtures():
     from plant3dvision_tpu import fixtures
     from plant3dvision_tpu.fsdb.testing import TemporaryDB
@@ -151,6 +244,12 @@ def main():
     ap.add_argument("--platform", default=None,
                     help="force a JAX backend (e.g. cpu) before init")
     ap.add_argument("--skip-northstar", action="store_true")
+    ap.add_argument("--ml", action="store_true",
+                    help="also run the ML-route northstar (photo renders "
+                         "-> TPUSegNet -> fused averaging carve -> organs)")
+    ap.add_argument("--ml-views", type=int, default=126)
+    ap.add_argument("--ml-size", type=int, default=896)
+    ap.add_argument("--ml-voxel", type=float, default=0.15)
     ap.add_argument("--engine", default=None,
                     help="override FusedCarving.engine for the northstar")
     args = ap.parse_args()
@@ -170,6 +269,11 @@ def main():
         report["northstar"] = {**run_northstar(args.views, args.voxel,
                                                engine=args.engine),
                                **stamp}
+    if args.ml:
+        report["ml_northstar"] = {**run_ml_northstar(args.ml_views,
+                                                     args.ml_size,
+                                                     voxel=args.ml_voxel),
+                                  **stamp}
     if args.reference_data:
         report["reference_fixtures"] = {**run_reference_fixtures(), **stamp}
     report.pop("backend", None)
