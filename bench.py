@@ -61,6 +61,7 @@ def build_workload():
 
 
 def main():
+    import jax
     import jax.numpy as jnp
     from plant3dvision_tpu.ops.carving_hier import pack_masks
     from plant3dvision_tpu.parallel.carving_mp import make_fused_carver
@@ -86,13 +87,24 @@ def main():
     fn = make_fused_carver(H, W, tuple(shape), caps=(8192, 16384),
                            packed_output=True, fine_tiles=True)
 
+    # Single-transfer pull: the counts vector rides in front of the packed
+    # alive mask in ONE device->host transfer (two sequential pulls pay the
+    # relay round-trip twice; measured +5% on the v5e).
+    @jax.jit
+    def carve_combined(p, cj, vj, oj, vsj):
+        out, counts = fn(p, cj, vj, oj, vsj)
+        cb = jax.lax.bitcast_convert_type(counts, jnp.uint8).reshape(-1)
+        return jnp.concatenate([cb, out])
+
+    N_COUNTS = 3  # undecided per level (2) + tile-window overflow
+
     def run_once():
-        out, counts = fn(packed, cams_j, valid_j, origin_j,
-                         jnp.float32(voxel_size))
-        counts = np.asarray(counts)
+        buf = np.asarray(carve_combined(packed, cams_j, valid_j, origin_j,
+                                        jnp.float32(voxel_size)))
+        counts = buf[:N_COUNTS * 4].view(np.int32)
         assert (counts[:2] <= np.asarray([8192, 16384])).all(), counts
         assert counts[-1] == 0, f"tile-window overflow: {counts}"
-        return np.unpackbits(np.asarray(out))
+        return np.unpackbits(buf[N_COUNTS * 4:])
 
     bits = run_once()   # warmup/compile
     assert bits.sum() > 1000, "carve produced an empty plant"
