@@ -44,16 +44,19 @@ def _dilate2x2(x, neutral):
 
 
 def _build_local_pyramids(packed, H, W, n_levels):
-    """DILATED 2x2 min/max mask pyramids: level-l entry (y, x) holds the
+    """DILATED 2x2 min/max mask pyramids, COMBINED into one uint8 plane:
+    bit0 = window max, bit1 = window min.  Level-l entry (y, x) holds the
     reduction over cells (y..y+1, x..x+1) at that level.  `_box_cover`
     picks the level so a projected box spans <= 2 cells per axis, so ONE
     tap at (cy0, cx0) covers the whole box — replacing the 4-tap fetch
     (4 random gathers per cell-view test, the dominant carve cost at
-    ~84M lookups/s on a v5e).  Dilation only ever widens the window
-    (when a box fits in a single cell row/column), i.e. the box test is
-    conservative: fewer coarse kills/hits, never a wrong one — the
-    exact fine level resolves the extra undecided cells, so the FINAL
-    volume is bit-identical (guarded by tests/unit/test_parallel_carve)."""
+    ~84M lookups/s on a v5e); packing max and min into one byte halves
+    the remaining taps again (one gather serves both tests).  Dilation
+    only ever widens the window (when a box fits in a single cell
+    row/column), i.e. the box test is conservative: fewer coarse
+    kills/hits, never a wrong one — the exact fine level resolves the
+    extra undecided cells, so the FINAL volume is bit-identical
+    (guarded by tests/unit/test_parallel_carve)."""
     V = packed.shape[0]
     Hp, Wp, level_shapes, _, _ = _pyramid_shapes(H, W, n_levels)
     base = unpack_masks_device(packed, H, W)
@@ -61,25 +64,27 @@ def _build_local_pyramids(packed, H, W, n_levels):
                        constant_values=0)
     base_min = jnp.pad(base, ((0, 0), (0, Hp - H), (0, Wp - W)),
                        constant_values=1)
-    outs_max, outs_min = [], []
+    outs = []
     cur_max, cur_min = base_max, base_min
     for l in range(n_levels + 1):
         h, w = level_shapes[l]
-        outs_max.append(_dilate2x2(cur_max, 0).reshape(V, h * w))
-        outs_min.append(_dilate2x2(cur_min, 1).reshape(V, h * w))
+        outs.append((_dilate2x2(cur_max, 0)
+                     | (_dilate2x2(cur_min, 1) << 1)).reshape(V, h * w))
         if l < n_levels:
             cur_max = cur_max.reshape(V, h // 2, 2, w // 2, 2).max(axis=(2, 4))
             cur_min = cur_min.reshape(V, h // 2, 2, w // 2, 2).min(axis=(2, 4))
-    return jnp.concatenate(outs_max, axis=1), jnp.concatenate(outs_min, axis=1)
+    return jnp.concatenate(outs, axis=1)
 
 
-def _classify_local(cells_f, cams, valid, pmax, pmin, level_off, level_w,
+def _classify_local(cells_f, cams, valid, pyr, level_off, level_w,
                     origin, s_world, H, W, n_levels):
-    """(kill, hit, undec) over (V_local, M) for float cell coords."""
+    """(kill, hit, undec) over (V_local, M) for float cell coords.
+    `pyr` is the combined (V, L) pyramid from `_build_local_pyramids`
+    (bit0 = window max, bit1 = window min)."""
     corners = (origin[None, None, :]
                + (cells_f[:, None, :] + _CUBE_OFFS_F[None, :, :]) * s_world)
 
-    def one_view(cam, pmax_v, pmin_v):
+    def one_view(cam, pyr_v):
         R = cam[4:13].reshape(3, 3)
         t = cam[13:16]
         p = jnp.einsum("mkj,ij->mki", corners, R) + t
@@ -95,18 +100,18 @@ def _classify_local(cells_f, cams, valid, pmax, pmin, level_off, level_w,
         fin = ((pxmin >= 0.0) & (pxmax < W) & (pymin >= 0.0)
                & (pymax < H) & ~behind)
         # dilated pyramids: the single (cy0, cx0) tap covers the whole
-        # 2x2 box cover (see _build_local_pyramids)
+        # 2x2 box cover (see _build_local_pyramids); one gather serves
+        # both the max (bit0) and min (bit1) tests
         i00, _, _, _ = _box_cover(pxmin, pxmax, pymin, pymax, H, W,
                                   n_levels, level_off, level_w)
-        vmax = jnp.take(pmax_v, i00)
-        vmin = jnp.take(pmin_v, i00)
-        return fin & (vmax == 0), fin & (vmin > 0), out
+        c = jnp.take(pyr_v, i00)
+        return fin & ((c & 1) == 0), fin & (c >= 2), out
 
     # lax.map (not vmap): per-view temporaries are O(M) — a vmap over
     # hundreds of views materializes (V, M, 8, 3) floats and OOMs at
     # north-star scale (300 views x 4M fine-pass points = 14 GB)
     kill, hit, out = jax.lax.map(
-        lambda xs: one_view(*xs), (cams, pmax, pmin))
+        lambda xs: one_view(*xs), (cams, pyr))
     kill = kill & valid[:, None]
     hit = hit & valid[:, None]
     no_eff = out | ~valid[:, None]
@@ -135,7 +140,7 @@ def _topk_slots(cand, K):
     return vsel, vals > 0, smax
 
 
-def _classify_slots(corners_p, vsel, vvalid, cams, pmax_flat, pmin_flat,
+def _classify_slots(corners_p, vsel, vvalid, cams, pyr_flat,
                     Lflat, level_off, level_w, H, W, n_levels):
     """Slot-compacted box classification: each parent's children are
     tested only against the parent's (<= K) straddling views.
@@ -170,10 +175,9 @@ def _classify_slots(corners_p, vsel, vvalid, cams, pmax_flat, pmin_flat,
         i00, _, _, _ = _box_cover(pxmin, pxmax, pymin, pymax, H, W,
                                   n_levels, level_off, level_w)
         base = vk[:, None] * Lflat
-        vmax = jnp.take(pmax_flat, base + i00)
-        vmin = jnp.take(pmin_flat, base + i00)
-        kill = fin & (vmax == 0)
-        hit = fin & (vmin > 0)
+        c = jnp.take(pyr_flat, base + i00)
+        kill = fin & ((c & 1) == 0)
+        hit = fin & (c >= 2)
         undec = ~kill & ~hit & ~out
         okm = okk[:, None]
         return kill & okm, hit & okm, undec & okm
@@ -409,8 +413,9 @@ def _make_carve_body(axis, H, W, shape,
     undecided counts per level int32) — callers MUST check counts <= caps
     (the result is invalid otherwise; wrappers re-jit with bigger caps).
     `axis=None` runs unsharded (single chip); otherwise collectives join
-    per-level statuses across the view shard. Pass pmax/pmin to reuse
-    device-resident pyramids across carves (skips the in-program build);
+    per-level statuses across the view shard. Pass `pyr_l` (the combined
+    pyramid from `_build_local_pyramids`) to reuse a device-resident
+    pyramid across carves (skips the in-program build);
     origin and voxel_size are runtime arguments, so one compiled program
     serves any grid placement of the same `shape`.
 
@@ -431,16 +436,23 @@ def _make_carve_body(axis, H, W, shape,
     n_levels = pyramid_levels
     nx, ny, nz = shape
 
-    plan = [(2, m // 2)]
-    if m // 2 > 1:
-        plan.append((m // 2, 1))
+    # halve down to 4-voxel cells, then one factor-4 exact fine level —
+    # the fine tile path's 24-px window guarantee needs fine parents no
+    # coarser than 4 voxels at carve-scale camera geometry, so higher
+    # start_levels insert extra box levels instead of widening the last
+    f = m
+    plan = []
+    while f > 4:
+        plan.append((2, f // 2))
+        f //= 2
+    if f > 1:
+        plan.append((f, 1))
     assert len(caps) >= len(plan), "one cap per refinement level"
 
-    def body(packed_l, cams_l, valid_l, origin_in, vs_in,
-             pmax_l=None, pmin_l=None):
+    def body(packed_l, cams_l, valid_l, origin_in, vs_in, pyr_l=None):
         vs = jnp.float32(vs_in)
-        if pmax_l is None:
-            pmax_l, pmin_l = _build_local_pyramids(packed_l, H, W, n_levels)
+        if pyr_l is None:
+            pyr_l = _build_local_pyramids(packed_l, H, W, n_levels)
         _, _, _, level_off, level_w = _pyramid_shapes(H, W, n_levels)
         level_off = jnp.asarray(level_off)
         level_w = jnp.asarray(level_w)
@@ -453,7 +465,7 @@ def _make_carve_body(axis, H, W, shape,
         kk = jax.lax.broadcasted_iota(jnp.int32, grid, 2).reshape(-1)
         cells_f = jnp.stack([ii, jj, kk], axis=1).astype(jnp.float32)
         kill, hit, undec = _classify_local(
-            cells_f, cams_l, valid_l, pmax_l, pmin_l, level_off, level_w,
+            cells_f, cams_l, valid_l, pyr_l, level_off, level_w,
             origin_j, vs * m, H, W, n_levels)
         any_kill = _gor(jnp.any(kill, axis=0), axis)
         hit_carry = _gor(jnp.any(hit, axis=0), axis)        # dense (M,)
@@ -511,10 +523,10 @@ def _make_carve_body(axis, H, W, shape,
                                  + (children.reshape(cap, f3, 1, 3)
                                     + _CUBE_OFFS_F[None, None, :, :])
                                  * (vs * cell_vox))
-                    Lflat = pmax_l.shape[1]
+                    Lflat = pyr_l.shape[1]
                     kill_a, hit_a, und_a, und_s = _classify_slots(
                         corners_p, vsel, vvalid_s, cams_l,
-                        pmax_l.reshape(-1), pmin_l.reshape(-1), Lflat,
+                        pyr_l.reshape(-1), Lflat,
                         level_off, level_w, H, W, n_levels)
                 elif fine_tiles:
                     pts_p = (origin_j[None, None, :]
@@ -541,7 +553,7 @@ def _make_carve_body(axis, H, W, shape,
                 cand_c = jnp.repeat(cand, f3, axis=1)        # (V_l, cap*f3)
                 if cell_vox > 1:
                     killc, hitc, undc = _classify_local(
-                        children, cams_l, valid_l, pmax_l, pmin_l, level_off,
+                        children, cams_l, valid_l, pyr_l, level_off,
                         level_w, origin_j, vs * cell_vox, H, W, n_levels)
                     undc = undc & cand_c
                 elif fine_tiles:
@@ -668,7 +680,7 @@ def make_fused_carver(H: int, W: int, shape,
     level). Same bit-exact semantics; same body as the sharded carver.
 
     Returns fn(packed (V, B), cams (V, 16), valid (V,), origin (3,),
-    voxel_size[, pmax, pmin]) -> (volume int8, per-level undecided
+    voxel_size[, pyr]) -> (volume int8, per-level undecided
     counts). Check counts <= caps. lru-cached per geometry so repeated
     carves reuse the compiled program.  With `slot_caps` (tuple per
     refinement level) the refinement is slot-compacted and counts is
