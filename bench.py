@@ -87,16 +87,36 @@ def main():
     fn = make_fused_carver(H, W, tuple(shape), caps=(8192, 16384),
                            packed_output=True, fine_tiles=True)
 
-    # Single-transfer pull: the counts vector rides in front of the packed
-    # alive mask in ONE device->host transfer (two sequential pulls pay the
-    # relay round-trip twice; measured +5% on the v5e).
+    # Single-transfer, BLOCK-COMPACTED pull (lossless): a carved plant is
+    # sparse (~0.1% nonzero bytes on this workload), and the relay link
+    # moves ~31 MB/s with a ~30 ms base latency — pulling the raw 6.4 MB
+    # packed mask costs ~205 ms, a third of the whole carve. Instead the
+    # program appends (counts | n_alive_blocks | block bitmap | the <= CAP
+    # nonzero 64-byte blocks) and the host scatters the blocks back into
+    # the full packed mask — bit-exact (verified against the direct pull
+    # at warmup below), ~0.28 MB on the wire. Overflow of the block cap is
+    # detected via n_alive_blocks, same contract as the carve caps.
+    BS = 64                       # block bytes (512 voxels)
+    PB = -(-int(np.prod(shape)) // 8)   # packed mask bytes
+    NBLK = -(-PB // BS)
+    CAP = 4096                    # max alive blocks (this plant: ~3.5k)
+
     @jax.jit
     def carve_combined(p, cj, vj, oj, vsj):
         out, counts = fn(p, cj, vj, oj, vsj)
-        cb = jax.lax.bitcast_convert_type(counts, jnp.uint8).reshape(-1)
-        return jnp.concatenate([cb, out])
+        blk = jnp.pad(out, (0, NBLK * BS - PB)).reshape(NBLK, BS)
+        nz = blk.any(axis=1)
+        n = nz.sum(dtype=jnp.int32)
+        idx = jnp.nonzero(nz, size=CAP, fill_value=NBLK)[0]
+        blk1 = jnp.concatenate([blk, jnp.zeros((1, BS), jnp.uint8)])
+        comp = jnp.take(blk1, idx, axis=0)
+        header = jax.lax.bitcast_convert_type(
+            jnp.concatenate([counts, n[None]]), jnp.uint8).reshape(-1)
+        return jnp.concatenate([header, jnp.packbits(nz), comp.reshape(-1)])
 
     N_COUNTS = 3  # undecided per level (2) + tile-window overflow
+    HDR = (N_COUNTS + 1) * 4
+    NBM = -(-NBLK // 8)
 
     def run_once():
         buf = np.asarray(carve_combined(packed, cams_j, valid_j, origin_j,
@@ -104,10 +124,20 @@ def main():
         counts = buf[:N_COUNTS * 4].view(np.int32)
         assert (counts[:2] <= np.asarray([8192, 16384])).all(), counts
         assert counts[-1] == 0, f"tile-window overflow: {counts}"
-        return np.unpackbits(buf[N_COUNTS * 4:])
+        n = int(buf[N_COUNTS * 4:HDR].view(np.int32)[0])
+        assert n <= CAP, f"alive-block cap overflow: {n} > {CAP}"
+        bitmap = np.unpackbits(buf[HDR:HDR + NBM])[:NBLK]
+        comp = buf[HDR + NBM:].reshape(CAP, BS)
+        full = np.zeros((NBLK, BS), np.uint8)
+        full[np.flatnonzero(bitmap)] = comp[:n]
+        return np.unpackbits(full.reshape(-1)[:PB])
 
     bits = run_once()   # warmup/compile
     assert bits.sum() > 1000, "carve produced an empty plant"
+    # honesty check: the compacted pull reconstructs the direct pull
+    direct = np.unpackbits(np.asarray(
+        fn(packed, cams_j, valid_j, origin_j, jnp.float32(voxel_size))[0]))
+    assert (bits == direct).all(), "compacted pull is not bit-exact"
 
     times = []
     for _ in range(5):
