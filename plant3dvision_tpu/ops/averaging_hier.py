@@ -43,20 +43,22 @@ import numpy as np
 
 from .carving import EPS
 from .carving_hier import (_CUBE_OFFS_F, _EPS_Z, _pyramid_shapes, _bucket,
-                           build_pyramids, pack_masks)
-from .carving_pv import _CHUNK, _box_cover
+                           build_pyramids_dilated, pack_masks)
+from .carving_pv import _CHUNK
 
 # classification outcome per (cell, view): encoded in counters + bits
 
 
-def _classify_avg(cells_f, cams, valid, pmax, pmin, level_off, level_w,
+def _classify_avg(cells_f, cams, valid, pyr, level_off, level_w,
                   origin, s_world, H, W, n_levels):
     """(ones, zeros, partial) over (V, M): footprint-extended conservative
-    classification for averaging (tap box extends +1 pixel)."""
+    classification for averaging (tap box extends +1 pixel).  `pyr` is the
+    combined dilated pyramid (ops.carving_hier._dilated_pyramids_core):
+    one tap serves both the all-ones and all-zeros tests."""
     corners = (origin[None, None, :]
                + (cells_f[:, None, :] + _CUBE_OFFS_F[None, :, :]) * s_world)
 
-    def one_view(cam, pmax_v, pmin_v):
+    def one_view(cam, pyr_v):
         R = cam[4:13].reshape(3, 3)
         t = cam[13:16]
         p = jnp.einsum("mkj,ij->mki", corners, R) + t
@@ -87,29 +89,23 @@ def _classify_avg(cells_f, cams, valid, pmax, pmin, level_off, level_w,
             span.astype(jnp.float32), 1.0))), 0, n_levels).astype(jnp.int32)
         wl = jnp.take(level_w, lvl)
         offl = jnp.take(level_off, lvl)
-        cx0 = jnp.right_shift(ax, lvl); cx1 = jnp.right_shift(bx, lvl)
-        cy0 = jnp.right_shift(ay, lvl); cy1 = jnp.right_shift(by, lvl)
+        cx0 = jnp.right_shift(ax, lvl)
+        cy0 = jnp.right_shift(ay, lvl)
 
-        def q(pyr, cy, cx):
-            return jnp.take(pyr, offl + cy * wl + cx, axis=0)
-
-        vmax = jnp.maximum(jnp.maximum(q(pmax_v, cy0, cx0), q(pmax_v, cy0, cx1)),
-                           jnp.maximum(q(pmax_v, cy1, cx0), q(pmax_v, cy1, cx1)))
-        vmin = jnp.minimum(jnp.minimum(q(pmin_v, cy0, cx0), q(pmin_v, cy0, cx1)),
-                           jnp.minimum(q(pmin_v, cy1, cx0), q(pmin_v, cy1, cx1)))
-        ones = fin & (vmin > 0)
-        zeros = fin & (vmax == 0)
+        c = jnp.take(pyr_v, offl + cy0 * wl + cx0, axis=0)
+        ones = fin & (c >= 2)
+        zeros = fin & ((c & 1) == 0)
         partial = ~ones & ~zeros & ~out
         return ones, zeros, partial
 
-    ones, zeros, partial = jax.vmap(one_view)(cams, pmax, pmin)
+    ones, zeros, partial = jax.vmap(one_view)(cams, pyr)
     ok = valid[:, None]
     return ones & ok, zeros & ok, partial & ok
 
 
 @functools.partial(jax.jit, static_argnames=("grid", "cell_vox", "H", "W",
                                              "n_levels", "n_words"))
-def _avg_top(cams, valid, pmax, pmin, level_off, level_w, origin,
+def _avg_top(cams, valid, pyr, level_off, level_w, origin,
              voxel_size, grid, cell_vox, H, W, n_levels, n_words):
     ii = jax.lax.broadcasted_iota(jnp.int32, grid, 0).reshape(-1)
     jj = jax.lax.broadcasted_iota(jnp.int32, grid, 1).reshape(-1)
@@ -118,7 +114,7 @@ def _avg_top(cams, valid, pmax, pmin, level_off, level_w, origin,
     M = cells_f.shape[0]
     V = cams.shape[0]
     ones, zeros, partial = _classify_avg(
-        cells_f, cams, valid, pmax, pmin, level_off, level_w, origin,
+        cells_f, cams, valid, pyr, level_off, level_w, origin,
         voxel_size * cell_vox, H, W, n_levels)
     n1 = jnp.sum(ones, axis=0).astype(jnp.int32)
     n0 = jnp.sum(zeros, axis=0).astype(jnp.int32)
@@ -133,8 +129,8 @@ def _avg_top(cams, valid, pmax, pmin, level_off, level_w, origin,
 @functools.partial(jax.jit, static_argnames=("grid_prev", "cap", "capt",
                                              "factor", "cell_vox", "H", "W",
                                              "n_levels", "n_words", "V"))
-def _avg_refine(n1_prev, n0_prev, bits_prev, grid_prev, cams, valid, pmax,
-                pmin, masks_packed, level_off, level_w, origin, voxel_size,
+def _avg_refine(n1_prev, n0_prev, bits_prev, grid_prev, cams, valid, pyr,
+                masks_packed, level_off, level_w, origin, voxel_size,
                 cap, capt, factor, cell_vox, H, W, n_levels, n_words, V):
     """One averaging refinement level over (parent, view) straddle pairs.
 
@@ -171,10 +167,9 @@ def _avg_refine(n1_prev, n0_prev, bits_prev, grid_prev, cams, valid, pmax,
     offs_j = jnp.asarray(offs)
     N = cap * f3
     s_world = voxel_size * cell_vox
-    TOT = pmax.shape[1]
+    TOT = pyr.shape[1]
     B = masks_packed.shape[1]
-    pmax_flat = pmax.reshape(-1)
-    pmin_flat = pmin.reshape(-1)
+    pyr_flat = pyr.reshape(-1)
     masks_flat = masks_packed.reshape(-1)
     n_chunks = capt // _CHUNK
 
@@ -214,24 +209,15 @@ def _avg_refine(n1_prev, n0_prev, bits_prev, grid_prev, cams, valid, pmax,
                 span.astype(jnp.float32), 1.0))), 0, n_levels).astype(jnp.int32)
             wl = jnp.take(level_w, lvl)
             offl = jnp.take(level_off, lvl)
-            cx0 = jnp.right_shift(ax, lvl); cx1 = jnp.right_shift(bx, lvl)
-            cy0 = jnp.right_shift(ay, lvl); cy1 = jnp.right_shift(by, lvl)
+            cx0 = jnp.right_shift(ax, lvl)
+            cy0 = jnp.right_shift(ay, lvl)
             voff = (cv * TOT)[:, None]
-
-            def q(flat, idx):
-                return jnp.take(flat, (idx + voff).reshape(-1),
-                                axis=0).reshape(_CHUNK, f3)
-
+            # dilated combined pyramid: ONE tap serves both tests
             i00 = offl + cy0 * wl + cx0
-            i01 = offl + cy0 * wl + cx1
-            i10 = offl + cy1 * wl + cx0
-            i11 = offl + cy1 * wl + cx1
-            vmax = jnp.maximum(jnp.maximum(q(pmax_flat, i00), q(pmax_flat, i01)),
-                               jnp.maximum(q(pmax_flat, i10), q(pmax_flat, i11)))
-            vmin = jnp.minimum(jnp.minimum(q(pmin_flat, i00), q(pmin_flat, i01)),
-                               jnp.minimum(q(pmin_flat, i10), q(pmin_flat, i11)))
-            ones = fin & (vmin > 0)
-            zeros = fin & (vmax == 0)
+            c = jnp.take(pyr_flat, (i00 + voff).reshape(-1),
+                         axis=0).reshape(_CHUNK, f3)
+            ones = fin & (c >= 2)
+            zeros = fin & ((c & 1) == 0)
             partialc = ~ones & ~zeros & ~out
             contrib = jnp.zeros_like(pxmin)
             straddle_k = jnp.zeros_like(ones)
@@ -340,9 +326,10 @@ class HierarchicalAverager:
         self.n_levels = pyramid_levels
         self.n_words = -(-self.V // 32)
         self.masks_flat = jnp.asarray(pack_masks(masks))
-        (self.pmax, self.pmin, self.level_off, self.level_w,
-         _, _) = build_pyramids((self.V, self.H, self.W), pyramid_levels,
-                                packed=self.masks_flat)
+        (self.pyr, self.level_off, self.level_w,
+         _, _) = build_pyramids_dilated((self.V, self.H, self.W),
+                                        pyramid_levels,
+                                        packed=self.masks_flat)
         self.cams = jnp.asarray(cameras)
         self.valid = jnp.asarray(valid)
 
@@ -357,7 +344,7 @@ class HierarchicalAverager:
         origin_j = jnp.asarray(origin, jnp.float32)
         vs = jnp.float32(voxel_size)
 
-        n1, n0, bits = _avg_top(self.cams, self.valid, self.pmax, self.pmin,
+        n1, n0, bits = _avg_top(self.cams, self.valid, self.pyr,
                                 self.level_off, self.level_w, origin_j, vs,
                                 grid, m, self.H, self.W, self.n_levels,
                                 self.n_words)
@@ -390,8 +377,8 @@ class HierarchicalAverager:
             while capt < n_pairs:
                 capt += _CHUNK
             n1, n0, bits, exact, k_add = _avg_refine(
-                n1, n0, bits, (gx, gy, gz), self.cams, self.valid, self.pmax,
-                self.pmin, self.masks_flat, self.level_off, self.level_w,
+                n1, n0, bits, (gx, gy, gz), self.cams, self.valid, self.pyr,
+                self.masks_flat, self.level_off, self.level_w,
                 origin_j, vs, cap, capt, factor, cell_vox, self.H, self.W,
                 self.n_levels, self.n_words, self.V)
             rep3 = lambda a: jnp.repeat(jnp.repeat(jnp.repeat(

@@ -118,16 +118,81 @@ def build_pyramids(masks, n_levels: int, packed=None):
     return pyr_max, pyr_min, jnp.asarray(level_off), jnp.asarray(level_w), Hp, Wp
 
 
+def _dilate2x2(x, neutral):
+    """max/min over the (y..y+1, x..x+1) window per cell (edge-padded
+    with the reduction's neutral element)."""
+    V, h, w = x.shape
+    xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1)), constant_values=neutral)
+    op = jnp.maximum if neutral == 0 else jnp.minimum
+    return op(op(xp[:, :h, :w], xp[:, :h, 1:w + 1]),
+              op(xp[:, 1:h + 1, :w], xp[:, 1:h + 1, 1:w + 1]))
+
+
+def _dilated_pyramids_core(packed, H, W, n_levels):
+    """DILATED 2x2 min/max mask pyramids, COMBINED into one uint8 plane:
+    bit0 = window max, bit1 = window min.  Level-l entry (y, x) holds the
+    reduction over cells (y..y+1, x..x+1) at that level.  The standard
+    `_box_cover` picks the level so a projected box spans <= 2 cells per
+    axis, so ONE tap at its (cy0, cx0) corner covers the whole box —
+    replacing the 4-tap quad fetch over two pyramids (8 random gathers
+    per cell-view box test, the dominant carve cost at ~84M lookups/s on
+    a v5e) with a single gather.  Dilation only ever widens the window
+    (when a box fits in a single cell row/column), i.e. the box test is
+    conservative: fewer coarse kills/hits, never a wrong one — the exact
+    fine level resolves the extra undecided cells, so the FINAL volume
+    is bit-identical (tests/unit/test_carving_hier.py,
+    tests/unit/test_parallel_carve.py)."""
+    V = packed.shape[0]
+    Hp, Wp, level_shapes, _, _ = _pyramid_shapes(H, W, n_levels)
+    base = unpack_masks_device(packed, H, W)
+    base_max = jnp.pad(base, ((0, 0), (0, Hp - H), (0, Wp - W)),
+                       constant_values=0)
+    base_min = jnp.pad(base, ((0, 0), (0, Hp - H), (0, Wp - W)),
+                       constant_values=1)
+    outs = []
+    cur_max, cur_min = base_max, base_min
+    for l in range(n_levels + 1):
+        h, w = level_shapes[l]
+        outs.append((_dilate2x2(cur_max, 0)
+                     | (_dilate2x2(cur_min, 1) << 1)).reshape(V, h * w))
+        if l < n_levels:
+            cur_max = cur_max.reshape(V, h // 2, 2, w // 2, 2).max(axis=(2, 4))
+            cur_min = cur_min.reshape(V, h // 2, 2, w // 2, 2).min(axis=(2, 4))
+    return jnp.concatenate(outs, axis=1)
+
+
+_build_dilated_from_packed = jax.jit(
+    _dilated_pyramids_core, static_argnames=("H", "W", "n_levels"))
+
+
+def build_pyramids_dilated(masks, n_levels: int, packed=None):
+    """Combined dilated pyramid (V, TOT) uint8 (bit0 = window max, bit1 =
+    window min) + (level_off, level_w) tables — the single-tap variant of
+    `build_pyramids` (see `_dilated_pyramids_core`)."""
+    V, H, W = masks.shape if packed is None else masks
+    if packed is None:
+        packed = pack_masks(masks)
+    _, _, _, level_off, level_w = _pyramid_shapes(H, W, n_levels)
+    pyr = _build_dilated_from_packed(jnp.asarray(packed), H=H, W=W,
+                                     n_levels=n_levels)
+    m = 1 << n_levels
+    Hp = -(-H // m) * m
+    Wp = -(-W // m) * m
+    return pyr, jnp.asarray(level_off), jnp.asarray(level_w), Hp, Wp
+
+
 _CUBE_OFFS_F = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0],
                          [0, 0, 1], [1, 0, 1], [0, 1, 1], [1, 1, 1]],
                         dtype=np.float32)
 _CUBE_OFFS_I = _CUBE_OFFS_F.astype(np.int32)
 
 
-def _classify_cells(cells, cell_valid, cams, valid, packed_max, packed_min,
+def _classify_cells(cells, cell_valid, cams, valid, pyr,
                     level_off, level_w, origin, voxel_size, cell_vox, H, W,
                     n_levels):
-    """Core conservative classification for a (M, 3) list of cells."""
+    """Core conservative classification for a (M, 3) list of cells.
+    `pyr` is the combined dilated pyramid from `build_pyramids_dilated`
+    (bit0 = window max, bit1 = window min): one tap per box test."""
     M = cells.shape[0]
     s_world = voxel_size * cell_vox
     corners = (origin[None, None, :]
@@ -136,7 +201,7 @@ def _classify_cells(cells, cell_valid, cams, valid, packed_max, packed_min,
 
     def body(carry, xs):
         any_kill, all_ok, any_hit = carry
-        cam, ok_view, pmax_v, pmin_v = xs
+        cam, ok_view, pyr_v = xs
         fx, fy, cx, cy = cam[0], cam[1], cam[2], cam[3]
         R = cam[4:13].reshape(3, 3)
         t = cam[13:16]
@@ -164,22 +229,14 @@ def _classify_cells(cells, cell_valid, cams, valid, packed_max, packed_min,
         wl = jnp.take(level_w, lvl)
         offl = jnp.take(level_off, lvl)
         cx0 = jnp.right_shift(ax, lvl)
-        cx1 = jnp.right_shift(bx, lvl)
         cy0 = jnp.right_shift(ay, lvl)
-        cy1 = jnp.right_shift(by, lvl)
 
-        def q(pyr, cy, cx):
-            return jnp.take(pyr, offl + cy * wl + cx, axis=0)
+        # dilated pyramid: the single (cy0, cx0) tap covers the whole
+        # <= 2x2-cell box cover (see _dilated_pyramids_core)
+        c = jnp.take(pyr_v, offl + cy0 * wl + cx0, axis=0)
 
-        vmax = jnp.maximum(
-            jnp.maximum(q(pmax_v, cy0, cx0), q(pmax_v, cy0, cx1)),
-            jnp.maximum(q(pmax_v, cy1, cx0), q(pmax_v, cy1, cx1)))
-        vmin = jnp.minimum(
-            jnp.minimum(q(pmin_v, cy0, cx0), q(pmin_v, cy0, cx1)),
-            jnp.minimum(q(pmin_v, cy1, cx0), q(pmin_v, cy1, cx1)))
-
-        kill_v = fully_in & (vmax == 0) & ok_view
-        hit_v = fully_in & (vmin > 0) & ok_view
+        kill_v = fully_in & ((c & 1) == 0) & ok_view
+        hit_v = fully_in & (c >= 2) & ok_view
         no_eff = fully_out | ~ok_view
         ok_v = hit_v | no_eff
 
@@ -187,7 +244,7 @@ def _classify_cells(cells, cell_valid, cams, valid, packed_max, packed_min,
 
     init = (jnp.zeros(M, bool), jnp.ones(M, bool), jnp.zeros(M, bool))
     (any_kill, all_ok, any_hit), _ = jax.lax.scan(
-        body, init, (cams, valid, packed_max, packed_min))
+        body, init, (cams, valid, pyr))
 
     status = jnp.where(
         any_kill, jnp.int8(KILLED),
@@ -232,7 +289,7 @@ def _bucket(n: int) -> int:
 
 @functools.partial(jax.jit,
                    static_argnames=("grid", "cell_vox", "H", "W", "n_levels"))
-def _stage_top(cams, valid, pmax, pmin, level_off, level_w, origin,
+def _stage_top(cams, valid, pyr, level_off, level_w, origin,
                voxel_size, grid, cell_vox, H, W, n_levels):
     """Dense top level: classify every cell of the (padded) grid."""
     ii = jax.lax.broadcasted_iota(jnp.int32, grid, 0).reshape(-1)
@@ -240,7 +297,7 @@ def _stage_top(cams, valid, pmax, pmin, level_off, level_w, origin,
     kk = jax.lax.broadcasted_iota(jnp.int32, grid, 2).reshape(-1)
     cells = jnp.stack([ii, jj, kk], axis=1)
     status = _classify_cells(cells, jnp.ones(len(cells), bool), cams, valid,
-                             pmax, pmin, level_off, level_w, origin,
+                             pyr, level_off, level_w, origin,
                              voxel_size, cell_vox, H, W, n_levels)
     return status.reshape(grid)
 
@@ -248,7 +305,7 @@ def _stage_top(cams, valid, pmax, pmin, level_off, level_w, origin,
 @functools.partial(jax.jit,
                    static_argnames=("cap", "cell_vox", "factor", "H", "W",
                                     "n_levels"))
-def _stage_refine(status_prev, cams, valid, pmax, pmin, masks_flat,
+def _stage_refine(status_prev, cams, valid, pyr, masks_flat,
                   level_off, level_w, origin, voxel_size, cap, cell_vox,
                   factor, H, W, n_levels):
     """Expand undecided cells of the previous level by `factor` per axis
@@ -272,8 +329,8 @@ def _stage_refine(status_prev, cams, valid, pmax, pmin, masks_flat,
     child_valid = jnp.repeat(cell_valid, f3)
 
     if cell_vox > 1:
-        status_c = _classify_cells(children, child_valid, cams, valid, pmax,
-                                   pmin, level_off, level_w, origin,
+        status_c = _classify_cells(children, child_valid, cams, valid, pyr,
+                                   level_off, level_w, origin,
                                    voxel_size, cell_vox, H, W, n_levels)
     else:
         status_c = _exact_voxels(children, cams, valid, masks_flat, origin,
@@ -301,9 +358,10 @@ class HierarchicalCarver:
         # one small upload: bit-packed masks feed both the pyramid build
         # and the exact fine pass
         self.masks_flat = jnp.asarray(pack_masks(masks))
-        (self.pmax, self.pmin, self.level_off, self.level_w,
-         _, _) = build_pyramids((self.V, self.H, self.W), pyramid_levels,
-                                packed=self.masks_flat)
+        (self.pyr, self.level_off, self.level_w,
+         _, _) = build_pyramids_dilated((self.V, self.H, self.W),
+                                        pyramid_levels,
+                                        packed=self.masks_flat)
         self.cams = jnp.asarray(cameras)
         self.valid = jnp.asarray(valid)
 
@@ -315,7 +373,7 @@ class HierarchicalCarver:
         origin_j = jnp.asarray(origin, jnp.float32)
         vs = jnp.float32(voxel_size)
 
-        status = _stage_top(self.cams, self.valid, self.pmax, self.pmin,
+        status = _stage_top(self.cams, self.valid, self.pyr,
                             self.level_off, self.level_w, origin_j, vs,
                             grid, m, self.H, self.W, self.n_levels)
         # refinement schedule: 8 -> 4 (x2), then 4 -> 1 (x4 straight to
@@ -332,8 +390,8 @@ class HierarchicalCarver:
                                factor, axis=1), factor, axis=2)
                 continue
             cap = _bucket(n_undec)
-            status = _stage_refine(status, self.cams, self.valid, self.pmax,
-                                   self.pmin, self.masks_flat, self.level_off,
+            status = _stage_refine(status, self.cams, self.valid, self.pyr,
+                                   self.masks_flat, self.level_off,
                                    self.level_w, origin_j, vs, cap, cell_vox,
                                    factor, self.H, self.W, self.n_levels)
 

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from .carving_hier import (ALIVE, KILLED, UNDECIDED, UNSEEN, _CUBE_OFFS_F,
-                           _EPS_Z, build_pyramids, _bucket, pack_masks)
+                           _EPS_Z, build_pyramids_dilated, _bucket,
+                           pack_masks)
 
 _CHUNK = 8192  # pairs per evaluation chunk
 
@@ -51,7 +52,7 @@ def _box_cover(pxmin, pxmax, pymin, pymax, H, W, n_levels, level_off,
 
 @functools.partial(jax.jit, static_argnames=("grid", "cell_vox", "H", "W",
                                              "n_levels", "n_words"))
-def _top_dense(cams, valid, pmax, pmin, level_off, level_w, origin,
+def _top_dense(cams, valid, pyr, level_off, level_w, origin,
                voxel_size, grid, cell_vox, H, W, n_levels, n_words):
     """Dense top level, vectorized over ALL views at once (no scan).
     Returns (status (grid,), undec_bits (n_words, M), any_hit (M,))."""
@@ -65,7 +66,7 @@ def _top_dense(cams, valid, pmax, pmin, level_off, level_w, origin,
     corners = (origin[None, None, :]
                + (cells_f[:, None, :] + _CUBE_OFFS_F[None, :, :]) * s_world)
 
-    def one_view(cam, pmax_v, pmin_v):
+    def one_view(cam, pyr_v):
         R = cam[4:13].reshape(3, 3)
         t = cam[13:16]
         p = jnp.einsum("mkj,ij->mki", corners, R) + t
@@ -80,22 +81,17 @@ def _top_dense(cams, valid, pmax, pmin, level_off, level_w, origin,
                | (pymin >= H)) & ~behind
         fin = ((pxmin >= 0.0) & (pxmax < W) & (pymin >= 0.0)
                & (pymax < H) & ~behind)
-        i00, i01, i10, i11 = _box_cover(pxmin, pxmax, pymin, pymax, H, W,
-                                        n_levels, level_off, level_w)
-        vmax = jnp.maximum(jnp.maximum(jnp.take(pmax_v, i00),
-                                       jnp.take(pmax_v, i01)),
-                           jnp.maximum(jnp.take(pmax_v, i10),
-                                       jnp.take(pmax_v, i11)))
-        vmin = jnp.minimum(jnp.minimum(jnp.take(pmin_v, i00),
-                                       jnp.take(pmin_v, i01)),
-                           jnp.minimum(jnp.take(pmin_v, i10),
-                                       jnp.take(pmin_v, i11)))
-        return fin & (vmax == 0), fin & (vmin > 0), out
+        # dilated combined pyramid: ONE tap serves both box tests
+        # (ops.carving_hier._dilated_pyramids_core)
+        i00, _, _, _ = _box_cover(pxmin, pxmax, pymin, pymax, H, W,
+                                  n_levels, level_off, level_w)
+        c = jnp.take(pyr_v, i00)
+        return fin & ((c & 1) == 0), fin & (c >= 2), out
 
     # lax.map: per-view temporaries stay O(M); a vmap over hundreds of
     # views materializes (V, M, 8, 3) floats (OOM at 300-view scans)
     kill, hit, out = jax.lax.map(
-        lambda xs: one_view(*xs), (cams, pmax, pmin))       # (V, M) each
+        lambda xs: one_view(*xs), (cams, pyr))              # (V, M) each
     kill = kill & valid[:, None]
     hit = hit & valid[:, None]
     no_eff = out | ~valid[:, None]
@@ -124,8 +120,8 @@ def _top_dense(cams, valid, pmax, pmin, level_off, level_w, origin,
                                              "cell_vox", "H", "W",
                                              "n_levels", "n_words", "V",
                                              "chunk"))
-def _refine_pairs(status_prev, bits_prev, hit_prev, cams, valid, pmax,
-                  pmin, masks_packed, level_off, level_w, origin, voxel_size,
+def _refine_pairs(status_prev, bits_prev, hit_prev, cams, valid, pyr,
+                  masks_packed, level_off, level_w, origin, voxel_size,
                   cap, capt, factor, cell_vox, H, W, n_levels, n_words, V,
                   chunk=_CHUNK):
     """One refinement level over the flat (parent, view) straddle-pair list.
@@ -167,10 +163,9 @@ def _refine_pairs(status_prev, bits_prev, hit_prev, cams, valid, pmax,
 
     N = cap * f3
     s_world = voxel_size * cell_vox
-    TOT = pmax.shape[1]
+    TOT = pyr.shape[1]
     B = masks_packed.shape[1]
-    pmax_flat = pmax.reshape(-1)
-    pmin_flat = pmin.reshape(-1)
+    pyr_flat = pyr.reshape(-1)
     masks_flat = masks_packed.reshape(-1)
 
     n_chunks = capt // chunk
@@ -204,20 +199,14 @@ def _refine_pairs(status_prev, bits_prev, hit_prev, cams, valid, pmax,
                    | (pymin >= H)) & ~behind
             fin = ((pxmin >= 0.0) & (pxmax < W) & (pymin >= 0.0)
                    & (pymax < H) & ~behind)
-            i00, i01, i10, i11 = _box_cover(pxmin, pxmax, pymin, pymax, H, W,
-                                            n_levels, level_off, level_w)
+            i00, _, _, _ = _box_cover(pxmin, pxmax, pymin, pymax, H, W,
+                                      n_levels, level_off, level_w)
             voff = (cv * TOT)[:, None]
-
-            def q(flat, idx):
-                return jnp.take(flat, (idx + voff).reshape(-1),
-                                axis=0).reshape(chunk, f3)
-
-            vmax = jnp.maximum(jnp.maximum(q(pmax_flat, i00), q(pmax_flat, i01)),
-                               jnp.maximum(q(pmax_flat, i10), q(pmax_flat, i11)))
-            vmin = jnp.minimum(jnp.minimum(q(pmin_flat, i00), q(pmin_flat, i01)),
-                               jnp.minimum(q(pmin_flat, i10), q(pmin_flat, i11)))
-            kill = fin & (vmax == 0)
-            hit = fin & (vmin > 0)
+            # dilated combined pyramid: ONE tap serves both box tests
+            c = jnp.take(pyr_flat, (i00 + voff).reshape(-1),
+                         axis=0).reshape(chunk, f3)
+            kill = fin & ((c & 1) == 0)
+            hit = fin & (c >= 2)
             undec_c = ~kill & ~hit & ~out
         else:
             pts = origin[None, None, :] + children * voxel_size  # (C, f3, 3)
@@ -328,9 +317,10 @@ class PerViewCarver:
         self.n_levels = pyramid_levels
         self.n_words = -(-self.V // 32)
         self.masks_flat = jnp.asarray(packed)
-        (self.pmax, self.pmin, self.level_off, self.level_w,
-         _, _) = build_pyramids((self.V, self.H, self.W), pyramid_levels,
-                                packed=self.masks_flat)
+        (self.pyr, self.level_off, self.level_w,
+         _, _) = build_pyramids_dilated((self.V, self.H, self.W),
+                                        pyramid_levels,
+                                        packed=self.masks_flat)
         self.cams = jnp.asarray(cameras)
         self.valid = jnp.asarray(valid)
 
@@ -342,7 +332,7 @@ class PerViewCarver:
         vs = jnp.float32(voxel_size)
 
         status, bits, hit = _top_dense(
-            self.cams, self.valid, self.pmax, self.pmin, self.level_off,
+            self.cams, self.valid, self.pyr, self.level_off,
             self.level_w, origin_j, vs, grid, m, self.H, self.W,
             self.n_levels, self.n_words)
 
@@ -364,8 +354,8 @@ class PerViewCarver:
             while capt < n_pairs:
                 capt += _CHUNK
             status, bits, hit = _refine_pairs(
-                status, bits, hit, self.cams, self.valid, self.pmax,
-                self.pmin, self.masks_flat, self.level_off, self.level_w,
+                status, bits, hit, self.cams, self.valid, self.pyr,
+                self.masks_flat, self.level_off, self.level_w,
                 origin_j, vs, cap, capt, factor, cell_vox, self.H, self.W,
                 self.n_levels, self.n_words, self.V)
 

@@ -31,9 +31,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.carving_hier import ALIVE, pack_masks, UNDECIDED, _pyramid_shapes
-from ..ops.carving_pv import (_CHUNK, _pair_count, _refine_pairs, _top_dense,
-                              build_pyramids)
+from ..ops.carving_hier import (ALIVE, UNDECIDED, _pyramid_shapes,
+                                build_pyramids_dilated, pack_masks)
+from ..ops.carving_pv import _CHUNK, _pair_count, _refine_pairs, _top_dense
 
 
 def _plan(start_level: int):
@@ -71,10 +71,10 @@ def make_fused_pair_carver(H: int, W: int, shape, start_level: int = 4,
         V = cams.shape[0]
         vs = jnp.float32(vs_in)
         origin_j = jnp.asarray(origin_in, jnp.float32)
-        pmax, pmin, level_off, level_w, _, _ = build_pyramids(
+        pyr, level_off, level_w, _, _ = build_pyramids_dilated(
             (V, H, W), n_levels, packed=packed)
         status, bits, hit = _top_dense(
-            cams, valid, pmax, pmin, level_off, level_w, origin_j, vs,
+            cams, valid, pyr, level_off, level_w, origin_j, vs,
             grid, m, H, W, n_levels, n_words)
 
         cell_counts, pair_counts = [], []
@@ -83,7 +83,7 @@ def make_fused_pair_carver(H: int, W: int, shape, start_level: int = 4,
             cell_counts.append(jnp.sum(undec, dtype=jnp.int32))
             pair_counts.append(_pair_count(bits, undec).astype(jnp.int32))
             status, bits, hit = _refine_pairs(
-                status, bits, hit, cams, valid, pmax, pmin, packed,
+                status, bits, hit, cams, valid, pyr, packed,
                 level_off, level_w, origin_j, vs, cell_caps[li],
                 pair_caps[li], factor, cell_vox, H, W, n_levels,
                 n_words, V, chunk=min(chunk, pair_caps[li]))

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.carving_hier import (ALIVE, KILLED, UNDECIDED, UNSEEN,
-                                _CUBE_OFFS_F, _EPS_Z, _pyramid_shapes,
+                                _CUBE_OFFS_F, _EPS_Z,
+                                _dilated_pyramids_core, _pyramid_shapes,
                                 pack_masks, unpack_masks_device)
 from ..ops.carving_pv import _box_cover
 from ..runtime.log import configure_logger
@@ -33,47 +34,10 @@ from ..runtime.log import configure_logger
 logger = configure_logger(__name__)
 
 
-def _dilate2x2(x, neutral):
-    """max/min over the (y..y+1, x..x+1) window per cell (edge-padded
-    with the reduction's neutral element)."""
-    V, h, w = x.shape
-    xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1)), constant_values=neutral)
-    op = jnp.maximum if neutral == 0 else jnp.minimum
-    return op(op(xp[:, :h, :w], xp[:, :h, 1:w + 1]),
-              op(xp[:, 1:h + 1, :w], xp[:, 1:h + 1, 1:w + 1]))
-
-
-def _build_local_pyramids(packed, H, W, n_levels):
-    """DILATED 2x2 min/max mask pyramids, COMBINED into one uint8 plane:
-    bit0 = window max, bit1 = window min.  Level-l entry (y, x) holds the
-    reduction over cells (y..y+1, x..x+1) at that level.  `_box_cover`
-    picks the level so a projected box spans <= 2 cells per axis, so ONE
-    tap at (cy0, cx0) covers the whole box — replacing the 4-tap fetch
-    (4 random gathers per cell-view test, the dominant carve cost at
-    ~84M lookups/s on a v5e); packing max and min into one byte halves
-    the remaining taps again (one gather serves both tests).  Dilation
-    only ever widens the window (when a box fits in a single cell
-    row/column), i.e. the box test is conservative: fewer coarse
-    kills/hits, never a wrong one — the exact fine level resolves the
-    extra undecided cells, so the FINAL volume is bit-identical
-    (guarded by tests/unit/test_parallel_carve)."""
-    V = packed.shape[0]
-    Hp, Wp, level_shapes, _, _ = _pyramid_shapes(H, W, n_levels)
-    base = unpack_masks_device(packed, H, W)
-    base_max = jnp.pad(base, ((0, 0), (0, Hp - H), (0, Wp - W)),
-                       constant_values=0)
-    base_min = jnp.pad(base, ((0, 0), (0, Hp - H), (0, Wp - W)),
-                       constant_values=1)
-    outs = []
-    cur_max, cur_min = base_max, base_min
-    for l in range(n_levels + 1):
-        h, w = level_shapes[l]
-        outs.append((_dilate2x2(cur_max, 0)
-                     | (_dilate2x2(cur_min, 1) << 1)).reshape(V, h * w))
-        if l < n_levels:
-            cur_max = cur_max.reshape(V, h // 2, 2, w // 2, 2).max(axis=(2, 4))
-            cur_min = cur_min.reshape(V, h // 2, 2, w // 2, 2).min(axis=(2, 4))
-    return jnp.concatenate(outs, axis=1)
+# combined (bit0 = window max, bit1 = window min) DILATED pyramid —
+# shared with the single-chip engines (see
+# ops.carving_hier._dilated_pyramids_core for the full derivation)
+_build_local_pyramids = _dilated_pyramids_core
 
 
 def _classify_local(cells_f, cams, valid, pyr, level_off, level_w,
