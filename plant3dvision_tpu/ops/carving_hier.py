@@ -78,46 +78,6 @@ def _pyramid_shapes(H, W, n_levels):
     return Hp, Wp, level_shapes, level_off, level_w
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W", "n_levels"))
-def _build_pyramids_from_packed(packed, H: int, W: int, n_levels: int):
-    V = packed.shape[0]
-    Hp, Wp, level_shapes, _, _ = _pyramid_shapes(H, W, n_levels)
-    base = unpack_masks_device(packed, H, W)
-    base_max = jnp.pad(base, ((0, 0), (0, Hp - H), (0, Wp - W)),
-                       constant_values=0)
-    base_min = jnp.pad(base, ((0, 0), (0, Hp - H), (0, Wp - W)),
-                       constant_values=1)
-    outs_max, outs_min = [], []
-    cur_max, cur_min = base_max, base_min
-    for l in range(n_levels + 1):
-        h, w = level_shapes[l]
-        outs_max.append(cur_max.reshape(V, h * w))
-        outs_min.append(cur_min.reshape(V, h * w))
-        if l < n_levels:
-            cur_max = cur_max.reshape(V, h // 2, 2, w // 2, 2).max(axis=(2, 4))
-            cur_min = cur_min.reshape(V, h // 2, 2, w // 2, 2).min(axis=(2, 4))
-    return jnp.concatenate(outs_max, axis=1), jnp.concatenate(outs_min, axis=1)
-
-
-def build_pyramids(masks, n_levels: int, packed=None):
-    """Packed max/min pyramids (V, TOT) uint8 + (level_off, level_w) tables.
-
-    Padding is 0 for max and 1 for min so queries straddling the image edge
-    stay conservative. `masks` may be (V, H, W); pass `packed` (from
-    pack_masks) with masks=(V, H, W) shape-only to skip the big upload.
-    """
-    V, H, W = masks.shape if packed is None else masks
-    if packed is None:
-        packed = pack_masks(masks)
-    _, _, _, level_off, level_w = _pyramid_shapes(H, W, n_levels)
-    pyr_max, pyr_min = _build_pyramids_from_packed(jnp.asarray(packed),
-                                                   H, W, n_levels)
-    m = 1 << n_levels
-    Hp = -(-H // m) * m
-    Wp = -(-W // m) * m
-    return pyr_max, pyr_min, jnp.asarray(level_off), jnp.asarray(level_w), Hp, Wp
-
-
 def _dilate2x2(x, neutral):
     """max/min over the (y..y+1, x..x+1) window per cell (edge-padded
     with the reduction's neutral element)."""
