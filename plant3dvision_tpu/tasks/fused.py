@@ -47,15 +47,19 @@ class FusedCarving(RomiTask):
             raise ValueError("Could not obtain a valid bounding-box")
         return bbox
 
-    #: carve engine: "pv" = per-view incidence pairs with host-sized
-    #: caps (ops/carving_pv.py; its three programs compile in minutes),
-    #: "fused" = single-program dense carve with tile row-gather fine
-    #: level + dilated pyramids (parallel/carving_mp.py — the fastest
-    #: measured engine, bit-exact vs the others), "fp" = fused
-    #: pair-compacted engine (parallel/carving_fp.py — bit-exact, but
-    #: its one large program hits a remote-compile pathology on this
-    #: TPU toolchain; opt-in)
-    engine = Parameter(default="pv", significant=False)
+    #: carve engine: "fused" = single-program dense carve with tile
+    #: row-gather fine level + dilated combined pyramids
+    #: (parallel/carving_mp.py — the fastest measured engine, bit-exact
+    #: vs the others; DEFAULT now that the persistent JAX compile cache
+    #: makes its cold compile a one-time cost per geometry, and the
+    #: auto overlap grouping below keeps per-program view counts <= ~100
+    #: where the remote compile stays ~1-2 min), "pv" = per-view
+    #: incidence pairs with host-sized caps (ops/carving_pv.py; several
+    #: small programs — the low-cold-latency alternative on a fresh
+    #: cache), "fp" = fused pair-compacted engine
+    #: (parallel/carving_fp.py — bit-exact, but its one large program
+    #: hits a remote-compile pathology on this TPU toolchain; opt-in)
+    engine = Parameter(default="fused", significant=False)
     #: decode/upload chunk: image decode+threshold+pack of chunk i+1
     #: overlaps the (async) device_put of chunk i
     chunk_views = Parameter(default=32, significant=False)
