@@ -283,16 +283,42 @@ class Backprojection:
                 seen = (prev == 1) | (vol == 1)
                 vol = np.where(killed, -1, np.where(seen, 1, 0)).astype(np.int32)
         else:
-            # dense averaging: for thin plant structures at fine voxels the
-            # hierarchical variant (ops.averaging_hier) has no early-kill
-            # pruning and loses to the dense scan — measured on v5e
-            fmasks = masks.astype(np.float32)
-            if masks.dtype == np.uint8:
-                fmasks = fmasks / 255.0
-            if self.log:
-                fmasks = np.log(EPS + fmasks)
-            vol = np.asarray(average(fmasks, cams, valid, self.origin,
-                                     self.voxel_size, self.shape))
+            vol = None
+            # two-valued masks (the Segmentation2D binarize default and
+            # every color-filter Masks output): tile row-gather averaging
+            # — ONE 32x32-px bit-tile fetch per (4^3-voxel cell, view)
+            # serves all four bilinear taps of all 64 voxels, vs 4 flat
+            # gathers per (voxel, view) in the dense scan (random gathers
+            # are the v5e bottleneck; ops/averaging_tiled.py)
+            nz = np.unique(masks)
+            nz = nz[nz != 0]
+            if len(nz) <= 1:
+                from .averaging_tiled import average_tiled
+                # the single nonzero value, after the same normalization
+                # the dense path applies below
+                hi = float(nz[0]) if len(nz) else 0.0
+                if masks.dtype == np.uint8:
+                    hi /= 255.0
+                v0, v1 = ((float(np.log(EPS)), float(np.log(EPS + hi)))
+                          if self.log else (0.0, hi))
+                tvol, over = average_tiled(masks, cams, valid, self.origin,
+                                           self.voxel_size, self.shape,
+                                           v0=v0, v1=v1)
+                if over == 0:
+                    vol = np.asarray(tvol)
+                # overflow: cameras project 4-voxel cells wider than the
+                # 24-px tile window — fall through to the dense scan
+            if vol is None:
+                # dense averaging fallback (also the non-binary path; the
+                # hierarchical variant ops.averaging_hier has no early
+                # pruning on thin plants and loses to this — measured v5e)
+                fmasks = masks.astype(np.float32)
+                if masks.dtype == np.uint8:
+                    fmasks = fmasks / 255.0
+                if self.log:
+                    fmasks = np.log(EPS + fmasks)
+                vol = np.asarray(average(fmasks, cams, valid, self.origin,
+                                         self.voxel_size, self.shape))
             if self._values is not None:
                 vol = self._values + vol
         self._values = vol

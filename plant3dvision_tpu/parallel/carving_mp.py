@@ -25,9 +25,9 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.carving_hier import (ALIVE, KILLED, UNDECIDED, UNSEEN,
-                                _CUBE_OFFS_F, _EPS_Z,
-                                _dilated_pyramids_core, _pyramid_shapes,
-                                pack_masks, unpack_masks_device)
+                                _CUBE_OFFS_F, _EPS_Z, _build_tile_tables,
+                                _dilated_pyramids_core, _pick32,
+                                _pyramid_shapes, pack_masks)
 from ..ops.carving_pv import _box_cover
 from ..runtime.log import configure_logger
 
@@ -179,61 +179,6 @@ def _exact_slots(pts_p, vsel, vvalid, cams, packed_flat, B, H, W):
 
     kill_s, hit_s = jax.lax.map(one_slot, (vsel.T, vvalid.T))
     return kill_s.any(0), hit_s.any(0)
-
-
-def _build_tile_tables(packed, H, W):
-    """Overlapping 32x32-px bit-tile table for row-gather mask tests.
-
-    Random flat gathers run at ~84M lookups/s on a v5e REGARDLESS of
-    element width, but axis-0 ROW gathers fetch a whole row at ~50M
-    rows/s — 10x the bytes/s (measured, docs/CARVE_CEILING.md).  The
-    fine carve level exploits this: all 64 children of one parent cell
-    project into a <= ~12 px window, so ONE row-gather of a 32x32-px
-    tile (32 x i32) anchored at the window min serves every child; the
-    per-child bit is then picked by an in-register select tree (no
-    further gathers).
-
-    Tiles are anchored every 8 px in y and x (16x memory over the packed
-    masks — ~190MB for 60 views at 1440x1080), so any window with span
-    <= 25 px fits a single tile.  Word layout: tiles[v, ty, tx, dy] bit
-    b (LSB-first) = mask pixel (y = ty*8 + dy, x = tx*8 + b).
-
-    Returns (tiles (V * Ht * Wt, 32) int32, Ht, Wt).
-    """
-    V = packed.shape[0]
-    base = unpack_masks_device(packed, H, W).astype(jnp.uint32)  # (V,H,W)
-    Ht, Wt = -(-H // 8), -(-W // 8)
-    Hp = (Ht - 1) * 8 + 32 + 8   # +8 so the q-shifted slices stay in range
-    Wp = (Wt + 3) * 8
-    base = jnp.pad(base, ((0, 0), (0, Hp - H), (0, Wp - W)))
-    # non-overlapping byte packing along x (LSB-first)
-    wts = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], jnp.uint32)
-    bytes_ = (base.reshape(V, Hp, Wp // 8, 8) * wts).sum(axis=3)  # (V,Hp,Wb)
-    # overlapping 32-col words anchored every 8 px
-    cw = (bytes_[:, :, :Wt]
-          | (bytes_[:, :, 1:Wt + 1] << 8)
-          | (bytes_[:, :, 2:Wt + 2] << 16)
-          | (bytes_[:, :, 3:Wt + 3] << 24))            # (V, Hp, Wt)
-    # overlapping 32-row windows anchored every 8 px: dy = 8q + r picks
-    # colword row (ty + q)*8 + r
-    cw8 = cw.reshape(V, Hp // 8, 8, Wt)
-    tiles = jnp.stack([cw8[:, q:q + Ht] for q in range(4)],
-                      axis=3)                          # (V, Ht, 8->r, 4->q, ... )
-    # current dims: (V, Ht, 8, 4, Wt) with (r at axis2, q at axis3)
-    tiles = tiles.transpose(0, 1, 4, 3, 2)             # (V, Ht, Wt, q, r)
-    tiles = tiles.reshape(V * Ht * Wt, 32).astype(jnp.int32)
-    return tiles, Ht, Wt
-
-
-def _pick32(T, dy):
-    """Select T[p, dy[p, k]] without a gather: 5-level register select
-    tree (T: (P, 32) i32, dy: (P, k) int32 in [0, 32)) -> (P, k)."""
-    cur = [T[:, j:j + 1] for j in range(32)]
-    for bit in (16, 8, 4, 2, 1):
-        half = len(cur) // 2
-        b = (dy & bit) != 0
-        cur = [jnp.where(b, cur[j + half], cur[j]) for j in range(half)]
-    return cur[0]
 
 
 def _exact_tiles(pts_p, cams, valid, tiles, Ht, Wt, H, W):

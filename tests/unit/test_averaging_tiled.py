@@ -1,0 +1,103 @@
+"""Tile row-gather averaging vs the dense reference op.
+
+The tiled engine must reproduce ops.carving.average on two-valued masks
+to float tolerance (same per-view accumulation order, same bilinear
+expression — only the tap fetch differs), detect too-wide projection
+windows via its overflow counter, and be selected/fallen-back-from
+transparently by the Backprojection averaging path."""
+
+import numpy as np
+import pytest
+
+from plant3dvision_tpu.ops.carving import (EPS, Backprojection, average,
+                                           pack_camera)
+from plant3dvision_tpu.ops.averaging_tiled import average_tiled
+from plant3dvision_tpu.synth import SyntheticPlant, render_mask, \
+    turntable_cameras
+
+
+def _workload(V=7, H=120, W=160, shape=(33, 30, 47), voxel=1.0):
+    plant = SyntheticPlant(n_fruits=5, stem_radius=2.5, fruit_radius=2.0,
+                           fruit_length=14.0, internode=7.0)
+    origin = np.array([-16.0, -15.0, -2.0], np.float32)
+    cams_krt = turntable_cameras(V, dist=150.0, z=45.0, target=(0, 0, 25.0),
+                                 f=180.0, width=W, height=H)
+    masks = np.zeros((V, H, W), np.uint8)
+    cams = np.zeros((V, 16), np.float32)
+    for v, (K, R, t) in enumerate(cams_krt):
+        masks[v] = render_mask(plant, K, R, t, W, H, step=1.0)
+        cams[v] = pack_camera([K[0, 0], K[1, 1], K[0, 2], K[1, 2]], R, t)
+    return masks, cams, origin, voxel, shape
+
+
+@pytest.mark.parametrize("log", [False, True])
+def test_matches_dense_average(log):
+    # masks are uint8 {0, 255}; feed the dense op the normalized floats
+    # the Backprojection averaging path builds, and the tiled op the
+    # matching {v0, v1} relabeling
+    masks, cams, origin, voxel, shape = _workload()
+    valid = np.ones(len(masks), bool)
+
+    fmasks = masks.astype(np.float32) / 255.0
+    if log:
+        fmasks = np.log(EPS + fmasks)
+    dense = np.asarray(average(fmasks, cams, valid, origin, voxel, shape))
+
+    v0, v1 = (np.log(EPS), np.log(EPS + 1.0)) if log else (0.0, 1.0)
+    tiled, over = average_tiled(masks, cams, valid, origin, voxel, shape,
+                                v0=float(v0), v1=float(v1))
+    assert over == 0
+    np.testing.assert_allclose(np.asarray(tiled), dense,
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_unnormalized_values_match_dense():
+    # raw {0, 255} values straight through the dense expression
+    masks, cams, origin, voxel, shape = _workload(V=4)
+    valid = np.ones(len(masks), bool)
+    dense = np.asarray(average(masks.astype(np.float32), cams, valid,
+                               origin, voxel, shape))
+    tiled, over = average_tiled(masks, cams, valid, origin, voxel, shape,
+                                v0=0.0, v1=255.0)
+    assert over == 0
+    np.testing.assert_allclose(np.asarray(tiled), dense,
+                               rtol=1e-5, atol=2e-2)
+
+
+def test_overflow_detected_for_close_camera():
+    # a camera so close that a 4-voxel cell spans >24 px must be counted
+    masks, cams, origin, voxel, shape = _workload(V=2)
+    close = turntable_cameras(1, dist=28.0, z=25.0, target=(0, 0, 25.0),
+                              f=300.0, width=160, height=120)
+    K, R, t = close[0]
+    cams[0] = pack_camera([K[0, 0], K[1, 1], K[0, 2], K[1, 2]], R, t)
+    _, over = average_tiled(masks, cams, np.ones(2, bool), origin, voxel,
+                            shape)
+    assert over > 0
+
+
+@pytest.mark.parametrize("log", [False, True])
+def test_backprojection_uses_tiled_path(log, monkeypatch):
+    """The averaging Backprojection must produce the same volume whether
+    the tiled engine or the dense scan serves it (uint8 0/255 masks,
+    the Masks/Segmentation2D on-disk format)."""
+    masks, cams, origin, voxel, shape = _workload(V=5)
+    masks255 = masks * np.uint8(255)
+
+    def run(force_dense):
+        bp = Backprojection(shape, origin, voxel, type="averaging", log=log)
+        if force_dense:
+            # non-binarizable sentinel disables the tiled lane
+            monkeypatch.setattr(
+                "plant3dvision_tpu.ops.averaging_tiled.average_tiled",
+                lambda *a, **k: (None, 1))
+        for m, c in zip(masks255, cams):
+            bp.process_view(c[:4], c[4:13].reshape(3, 3), c[13:16], m)
+        bp._flush()
+        out = bp._values
+        monkeypatch.undo()
+        return out
+
+    tiled = run(False)
+    dense = run(True)
+    np.testing.assert_allclose(tiled, dense, rtol=1e-5, atol=1e-4)
