@@ -82,7 +82,9 @@ def vol2pcd(volume, origin, voxel_size, level_set_value=0, dist_cap=16,
         _vol2pcd_dense_jit = jax.jit(_vol2pcd_dense,
                                      static_argnames=("cap", "band_cap"))
 
-    vol = np.asarray(volume)
+    # keep device arrays on device (np.asarray would pull the full
+    # volume through the link just to read its shape)
+    vol = volume if isinstance(volume, jnp.ndarray) else np.asarray(volume)
     cap = int(min(dist_cap + level_set_value + 4, max(vol.shape)))
     if band_cap is None:
         # the band is a constant-thickness surface shell; bucket for cache

@@ -58,31 +58,27 @@ class PointCloud(RomiTask):
             return
 
         labels = list(voxels.keys())
-        stack = np.stack([voxels[l] for l in labels], axis=-1).astype(np.float64)
-        for i, l in enumerate(labels):
-            if l == "background":
-                stack[..., i] *= float(self.background_prior)
-        # ties (e.g. an organ voxel whose 'background' channel — the
-        # INVERTED plant mask — scores identically) must go to the organ,
-        # not to background, whatever the label order
-        order_bias = np.array([1e-9 * (l != "background") for l in labels])
-        res_idx = np.argmax(stack + order_bias, axis=-1)
+        # one jitted device program: background-prior argmax (ties — e.g.
+        # an organ voxel whose 'background' channel, the INVERTED plant
+        # mask, scores identically — go to the organ) + per-label
+        # contrast/score filters on the SCORES, not membership (reference
+        # tasks/proc3d.py:80-129). The selected binary volumes stay on
+        # device and feed the device-resident vol2pcd — the old host
+        # float64 stack made ~10 single-core passes over gigabytes at the
+        # ML north-star grid (~3 min; now sub-second on the chip).
+        from ..ops.multiclass import multiclass_select
+        selected = multiclass_select(
+            voxels, labels,
+            background_prior=float(self.background_prior),
+            min_contrast=float(self.min_contrast),
+            min_score=float(self.min_score))
 
         pcd = PCD()
         point_labels = []
         for i, l in enumerate(labels):
             if l == "background":
                 continue
-            # per-label SCORE volume where this label wins the argmax
-            # (reference tasks/proc3d.py:80-129 keeps the scores so
-            # min_contrast/min_score filter on evidence, not membership)
-            score_i = stack[..., i]
-            pred_c = np.where(res_idx == i, score_i, 0.0)
-            if float(self.min_contrast) > 1.0:
-                others = np.max(np.delete(stack, i, axis=-1), axis=-1)
-                pred_c = pred_c * (score_i > float(self.min_contrast) * others)
-            pred_c = (pred_c > float(self.min_score)).astype(np.float64)
-            out = proc3d.vol2pcd(pred_c, origin, voxel_size,
+            out = proc3d.vol2pcd(selected[l], origin, voxel_size,
                                  float(self.level_set_value))
             if len(out) == 0:
                 continue
