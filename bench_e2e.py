@@ -249,7 +249,10 @@ def main():
                          "-> TPUSegNet -> fused averaging carve -> organs)")
     ap.add_argument("--ml-views", type=int, default=126)
     ap.add_argument("--ml-size", type=int, default=896)
-    ap.add_argument("--ml-voxel", type=float, default=0.15)
+    # 0.25 measured on the v5e: identical accuracy to 0.15 (ncost 0.0869
+    # vs 0.0868, same 16 angles) at 5.3x less wall time (94.9 s vs 498 s
+    # e2e) — the 56M-voxel 0.15 grid buys nothing on this plant scale
+    ap.add_argument("--ml-voxel", type=float, default=0.25)
     ap.add_argument("--engine", default=None,
                     help="override FusedCarving.engine for the northstar")
     args = ap.parse_args()
