@@ -248,15 +248,15 @@ def _view_delta_coverage(pose_v, theta, jit_v, deltas, alive, sil_uv_v,
                          sil_valid_v, origin, voxel_size, width, height,
                          scale, shape, n_steps):
     """Coverage of ONE view's silhouette rays against a fixed hull, for a
-    (G, 2) grid of (dpan, dtilt) adjustments on top of the view's
-    current jitter (jit_v = [dpan, dtilt, droll]; the roll delta rides
-    along unpolished). Returns (G,) coverages."""
+    (G, 3) grid of (dpan, dtilt, droll) adjustments on top of the view's
+    current jitter (jit_v = [dpan, dtilt, droll]). Returns (G,)
+    coverages."""
 
     def one(delta):
         pose = pose_v[None, :].at[0, 3].add(jit_v[0] + delta[0])
         pose = pose.at[0, 4].add(jit_v[1] + delta[1])
         cams = cnc_to_cameras(pose, theta, width, height, scale,
-                              droll=jit_v[2:3])
+                              droll=jit_v[2:3] + delta[2])
         _, mean = _ray_coverage(cams, alive, sil_uv_v[None], sil_valid_v[None],
                                 origin, voxel_size, shape, n_steps)
         return mean
@@ -266,6 +266,7 @@ def _view_delta_coverage(pose_v, theta, jit_v, deltas, alive, sil_uv_v,
 
 def refine_views_to_hull(masks, poses, theta, jitter, bbox, *,
                          rounds=2, span=(1.5, 1.0), grid=(11, 7),
+                         roll_span=0.0, roll_grid=5, shrink=1.0,
                          tol_kills=2, downsample=4, voxel_mm=2.0,
                          n_sil=256, seed=0):
     """Per-view silhouette polish: align every view's pan/tilt to the
@@ -273,7 +274,15 @@ def refine_views_to_hull(masks, poses, theta, jitter, bbox, *,
     re-carves. This optimizes exactly what space carving needs — that
     every view's silhouette is explained by the common hull — and mops
     up residual per-view gimbal jitter that feature BA leaves on
-    texture-poor views. Returns (dpan_view, dtilt_view, per_view_cov).
+    texture-poor views. Returns (dpan_view, dtilt_view, droll_view,
+    per_view_cov).
+
+    `roll_span > 0` adds a per-view roll axis to the search grid
+    (`roll_grid` samples) — the feature BA's roll estimate is noisy on
+    texture-poor views and rides along unpolished otherwise.
+    `shrink < 1` scales all spans by `shrink` each round around the
+    running argmax, so the grid resolution improves with rounds instead
+    of staying at span/grid (zoom-in search).
 
     No reference counterpart (the reference gets per-view poses from
     COLMAP, colmap.py:977-1008); the alternation follows silhouette-
@@ -310,13 +319,21 @@ def refine_views_to_hull(masks, poses, theta, jitter, bbox, *,
     H_full = float(masks.shape[1])
 
     gp, gt = grid
-    dp = np.linspace(-span[0], span[0], gp, dtype=np.float32)
-    dt = np.linspace(-span[1], span[1], gt, dtype=np.float32)
-    deltas = jnp.asarray(np.stack(np.meshgrid(dp, dt, indexing="ij"),
-                                  axis=-1).reshape(-1, 2))
+    gr = int(roll_grid) if roll_span > 0.0 else 1
+    spans = [float(span[0]), float(span[1]), float(roll_span)]
+
+    def _deltas(sp, st, sr):
+        dp = np.linspace(-sp, sp, gp, dtype=np.float32)
+        dt = np.linspace(-st, st, gt, dtype=np.float32)
+        dr = (np.linspace(-sr, sr, gr, dtype=np.float32)
+              if gr > 1 else np.zeros(1, np.float32))
+        return jnp.asarray(np.stack(
+            np.meshgrid(dp, dt, dr, indexing="ij"),
+            axis=-1).reshape(-1, 3))
 
     per_view = np.zeros(V, np.float32)
-    for _ in range(rounds):
+    for rnd in range(rounds):
+        deltas = _deltas(*spans)
         poses_adj = poses.copy()
         poses_adj[:, 3] += dpan_v
         poses_adj[:, 4] += dtilt_v
@@ -337,8 +354,11 @@ def refine_views_to_hull(masks, poses, theta, jitter, bbox, *,
             d = np.asarray(deltas[b])
             dpan_v[v] += float(d[0])
             dtilt_v[v] += float(d[1])
+            droll_v[v] += float(d[2])
             per_view[v] = float(cov[b])
-    return dpan_v, dtilt_v, per_view
+        if shrink != 1.0:
+            spans = [s * float(shrink) for s in spans]
+    return dpan_v, dtilt_v, droll_v, per_view
 
 
 def _maxpool2d(m, k):

@@ -170,6 +170,17 @@ class TurntableCalibration(RomiTask):
     strides = Parameter(default=[1, 2, 4, 7, 12])
     min_matches = Parameter(default=500)
     polish_rounds = Parameter(default=3)
+    #: per-view roll search half-span (deg) in the hull polish; 0 keeps
+    #: the feature BA's roll estimate fixed (pre-round-3 behavior)
+    polish_roll_span = Parameter(default=0.0)
+    #: multiply all polish search spans by this each round (zoom-in
+    #: search; 1.0 keeps the fixed-resolution grid)
+    polish_shrink = Parameter(default=1.0)
+    #: total polish<->BA cycles: 1 = BA then polish (default); >= 2
+    #: re-runs the bundle adjustment warm-started from the polished
+    #: per-view jitter between polish passes, letting the global theta
+    #: (f, mount offsets) adjust to the polished views
+    ba_polish_cycles = Parameter(default=1)
     coverage_threshold = Parameter(default=0.2)
     coverage_rel = Parameter(default=0.5)
     max_blind_angle = Parameter(default=20.0)
@@ -281,15 +292,43 @@ class TurntableCalibration(RomiTask):
 
         # per-view silhouette polish against the robust hull: mops up
         # residual gimbal jitter the feature BA leaves on texture-poor
-        # views (directly optimizes what space carving needs); the BA's
-        # per-view roll rides along unpolished
-        if int(self.polish_rounds) > 0:
-            dpan_v, dtilt_v, _ = selfcal.refine_views_to_hull(
-                masks, poses, theta_raw, jitter, bbox,
-                rounds=int(self.polish_rounds), seed=int(self.seed))
-            droll_v = (jitter[2] if jitter is not None
-                       else np.zeros(len(poses), np.float32))
-            jitter = (dpan_v, dtilt_v, droll_v)
+        # views (directly optimizes what space carving needs). With
+        # ba_polish_cycles >= 2 the bundle adjustment re-runs between
+        # polish passes, warm-started from the polished jitter.
+        cycles = max(1, int(self.ba_polish_cycles))
+        ba_cache = {}
+        for cyc in range(cycles):
+            if int(self.polish_rounds) > 0:
+                dpan_v, dtilt_v, droll_v, _ = selfcal.refine_views_to_hull(
+                    masks, poses, theta_raw, jitter, bbox,
+                    rounds=int(self.polish_rounds), seed=int(self.seed),
+                    roll_span=float(self.polish_roll_span),
+                    shrink=float(self.polish_shrink))
+                jitter = (dpan_v, dtilt_v, droll_v)
+            if cyc >= cycles - 1 or not use_ba or ba is None:
+                continue
+            free = ("f", "dpan", "dtilt", "roll", "mx", "my")
+            if bool(self.estimate_k1):
+                free = free + ("k1",)
+            matches = sfmlite.build_matches(
+                gray, kp_masks, theta_raw, poses, W, H,
+                k=int(self.n_keypoints),
+                strides=tuple(int(s) for s in self.strides),
+                gate_px=15.0, downsample=int(self.feature_downsample),
+                jitter0=jitter, k10=k1, _cache=ba_cache)
+            if len(matches["va"]) < int(self.min_matches):
+                logger.warning("polish<->BA cycle %d: too few matches, "
+                               "stopping the iteration", cyc + 1)
+                break
+            ba = sfmlite.refine_turntable(
+                matches, poses, theta_raw, W, H,
+                gate_px=(8.0, 4.0, 2.5), jitter0=jitter, k10=k1, free=free)
+            logger.info(
+                f"polish<->BA cycle {cyc + 1}: rms {ba['rms_px']:.2f} px, "
+                f"{ba['n_inliers']}/{ba['n_obs']} inliers")
+            theta_raw = ba["theta_raw"]
+            jitter = (ba["dpan_view"], ba["dtilt_view"], ba["droll_view"])
+            k1 = float(ba["k1"])
 
         poses_adj = poses.copy()
         droll = None
