@@ -133,6 +133,8 @@ class FSDB:
     def delete_scan(self, scan_id):
         scan = self.scans.pop(scan_id, None)
         if scan is not None:
+            from . import handoff
+            handoff.invalidate(self.path(), scan_id)
             shutil.rmtree(scan.path(), ignore_errors=True)
 
 
@@ -247,6 +249,10 @@ class Scan:
         fs = self.filesets.pop(fs_id, None)
         if fs is None:
             return
+        # cancel in-flight async artifact writes + drop device-cache entries
+        # (a canceled task must not resurrect files into a deleted fileset)
+        from . import handoff
+        handoff.invalidate(self.db.path(), self.id, fs_id)
         shutil.rmtree(fs.path(), ignore_errors=True)
         md = fs._metadata_path()
         if md.exists():
@@ -348,6 +354,11 @@ class File:
         return self.fileset.scan.db
 
     def path(self) -> Path:
+        if self.filename is None:
+            # an async artifact write may still be in flight — completing
+            # it sets self.filename (fsdb.handoff.wait_for -> write_raw)
+            from . import handoff
+            handoff.wait_for(self)
         if self.filename is None:
             raise DBError(f"File {self.id} has no data yet")
         return self.fileset.path() / self.filename

@@ -27,6 +27,9 @@ def make_temp_db(template: Path | None = None) -> FSDB:
 
 
 def destroy_temp_db(db: FSDB):
+    from . import handoff
+    for scan_id in list(getattr(db, "scans", {})):
+        handoff.invalidate(db.path(), scan_id)
     db.disconnect()
     shutil.rmtree(db.path(), ignore_errors=True)
 

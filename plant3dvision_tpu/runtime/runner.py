@@ -90,6 +90,52 @@ def run_task(ctx, task_name_or_cls, report=True) -> dict:
     _collect(root, order, set())
 
     results = {}
+    try:
+        _run_order(order, results)
+    except BaseException:
+        # the pipeline failed mid-way: still land any async artifact
+        # writes of the tasks that DID succeed (best effort — the
+        # original error stays the one raised)
+        try:
+            _flush_artifacts(results)
+        except Exception:
+            pass
+        raise
+    # async artifact writes ride under downstream task compute; whatever
+    # is still in flight must land before this invocation returns
+    _flush_artifacts(results)
+
+    if report:
+        width = max((len(k) for k in results), default=10)
+        logger.info("--- task timing report ---")
+        for k, v in results.items():
+            logger.info(f"{k:<{width}}  {v['status']:<8} {v['seconds']:>8.2f}s")
+    # observability: persist the last run report on the scan
+    try:
+        import datetime
+        ctx.scan.set_metadata("last_run_report", {
+            "timestamp": datetime.datetime.now().isoformat(timespec="seconds"),
+            "tasks": results,
+        })
+    except Exception:
+        pass
+    return results
+
+
+def _flush_artifacts(results) -> None:
+    from ..fsdb import handoff
+    if handoff.pending_count() == 0:
+        return
+    t0 = time.monotonic()
+    handoff.flush()
+    results["ArtifactFlush"] = {
+        "status": "done", "seconds": round(time.monotonic() - t0, 3),
+        "fileset": None,
+    }
+    logger.info(f"ArtifactFlush: {results['ArtifactFlush']['seconds']:.2f}s")
+
+
+def _run_order(order, results) -> None:
     for task in order:
         name = task.get_task_family()
         if task.complete():
@@ -140,19 +186,3 @@ def run_task(ctx, task_name_or_cls, report=True) -> dict:
         if status != "done":
             raise TaskFailure(f"Task {name} failed")
         logger.info(f"{name}: done in {dt:.2f}s")
-
-    if report:
-        width = max((len(k) for k in results), default=10)
-        logger.info("--- task timing report ---")
-        for k, v in results.items():
-            logger.info(f"{k:<{width}}  {v['status']:<8} {v['seconds']:>8.2f}s")
-    # observability: persist the last run report on the scan
-    try:
-        import datetime
-        ctx.scan.set_metadata("last_run_report", {
-            "timestamp": datetime.datetime.now().isoformat(timespec="seconds"),
-            "tasks": results,
-        })
-    except Exception:
-        pass
-    return results

@@ -103,7 +103,11 @@ class Voxels(RomiTask):
 
         outfile = self.output_file()
         if labels is not None:
-            io.write_npz(outfile, {label: vol[i] for i, label in enumerate(labels)})
+            # deflate of the multi-hundred-MB label stack rides the
+            # artifact-writer thread under downstream compute
+            io.write_npz_async(
+                outfile,
+                lambda: {label: vol[i] for i, label in enumerate(labels)})
         else:
             io.write_volume(outfile, vol)
         outfile.set_metadata({"voxel_size": vs, "origin": origin.tolist()})

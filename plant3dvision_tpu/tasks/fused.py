@@ -224,5 +224,10 @@ class FusedCarving(RomiTask):
                            np.int8(-1), np.maximum(vol, v))
 
         outfile = self.output_file()
-        io.write_volume(outfile, vol.astype(np.int32))
+        out_vol = vol.astype(np.int32)
+        # PointCloud gets the volume in-memory; the NPZ deflate rides the
+        # artifact-writer thread under the downstream tasks (fsdb.handoff)
+        from ..fsdb import handoff
+        handoff.cache_put(outfile, {"volume": out_vol})
+        io.write_npz_async(outfile, lambda: {"volume": out_vol})
         outfile.set_metadata({"voxel_size": vs, "origin": origin.tolist()})

@@ -134,13 +134,22 @@ class FusedSegmentationCarving(RomiTask):
                 flush()
         flush()
 
-        out = np.asarray(vol)
         if log_mode:
-            out = np.exp(out)
-            out[out > 1] = 1.0
+            # exp + clip on device so the handoff cache and the NPZ
+            # artifact hold bit-identical values (host np.exp can differ
+            # from the XLA exp by an ulp)
+            vol = jnp.minimum(jnp.exp(vol), 1.0)
         outfile = self.output_file()
-        io.write_npz(outfile, {label: out[i] for i, label in
-                               enumerate(labels)})
+        # downstream tasks (PointCloud, evaluation) get the volumes
+        # device-resident; the NPZ pull + deflate rides the writer thread
+        # under their compute (fsdb.handoff)
+        from ..fsdb import handoff
+        handoff.cache_put(outfile, {label: vol[i] for i, label in
+                                    enumerate(labels)})
+        io.write_npz_async(
+            outfile,
+            lambda: {label: arr for label, arr in
+                     zip(labels, np.asarray(vol))})
         outfile.set_metadata({"voxel_size": vs, "origin": origin.tolist(),
                               "label_names": list(labels)})
         self.output().get().set_metadata("label_names", list(labels))

@@ -38,8 +38,15 @@ class PointCloud(RomiTask):
     min_score = Parameter(default=0.2)
 
     def run(self):
+        from ..fsdb import handoff
         ifile = self.input_file()
-        voxels = io.read_npz(ifile)
+        # the producer task may have left the volumes device-resident
+        # (fsdb.handoff) — then the NPZ inflate + host->device upload of a
+        # multi-hundred-MB stack is skipped entirely (bit-identical: the
+        # cache holds exactly the arrays the NPZ was written from)
+        voxels = handoff.cache_get(ifile)
+        if voxels is None:
+            voxels = io.read_npz(ifile)
         if len(voxels.keys()) == 1:
             multiclass = False
             voxels = voxels[list(voxels.keys())[0]]
