@@ -148,45 +148,57 @@ def build_training_set(n_procedural=12, views_per_plant=18, crop=448,
 STEPS_PER_CALL = 25
 
 
-def _make_model(arch, rng_key, crop, widths, blocks_per_stage):
+def _make_model(arch, rng_key, crop, widths, blocks_per_stage,
+                n_classes=None):
+    n_classes = n_classes or len(LABELS)
     if arch == "tpusegnet":
         from . import create_segnet
         return create_segnet(rng_key, input_shape=(1, crop, crop, 3),
                              widths=tuple(widths),
                              blocks_per_stage=blocks_per_stage,
-                             n_classes=len(LABELS))
+                             n_classes=n_classes)
     from . import create_unet
     return create_unet(rng_key, input_shape=(1, crop, crop, 3),
                        widths=tuple(widths),
                        blocks_per_stage=blocks_per_stage,
-                       n_classes=len(LABELS))
+                       n_classes=n_classes)
 
 
 def train_on_crops(rgb, lab, widths=(24, 48, 96, 192), blocks_per_stage=2,
                    steps=3000, batch_size=8, lr=3e-3, seed=0,
-                   val_fraction=0.05, arch="resunet"):
-    """Device-resident training loop; returns (params, config, history)."""
+                   val_fraction=0.05, arch="resunet", labels=None,
+                   ignore_index=None):
+    """Device-resident training loop; returns (params, config, history).
+
+    `labels` defaults to the synthetic-scan label set; `ignore_index`
+    (e.g. 255 for distillation pseudo-labels, models/distill.py) drops
+    those pixels from the loss and the validation IoU.
+    """
     import jax
     import jax.numpy as jnp
     import optax
 
+    labels = list(labels) if labels is not None else list(LABELS)
     n, c, _, _ = rgb.shape
     n_val = max(int(n * val_fraction), 2)
     rng = np.random.default_rng(seed)
     perm = rng.permutation(n)
     val_idx, train_idx = perm[:n_val], perm[n_val:]
 
+    n_cls = len(labels)
     model, params = _make_model(arch, jax.random.PRNGKey(seed), c,
-                                widths, blocks_per_stage)
+                                widths, blocks_per_stage, n_classes=n_cls)
     n_params = sum(x.size for x in jax.tree.leaves(params))
     logger.info(f"model: widths={widths} blocks={blocks_per_stage} "
                 f"params={n_params / 1e6:.2f} M")
 
-    freq = np.bincount(lab.ravel().astype(np.int64),
-                       minlength=len(LABELS)).astype(float)
-    freq = freq[:len(LABELS)]
+    flat = lab.ravel().astype(np.int64)
+    if ignore_index is not None:
+        flat = flat[flat != ignore_index]
+    freq = np.bincount(flat, minlength=n_cls).astype(float)
+    freq = freq[:n_cls]
     w = 1.0 / np.sqrt(np.maximum(freq, freq.sum() * 1e-5))
-    w = w / w.sum() * len(LABELS)
+    w = w / w.sum() * n_cls
     logger.info(f"class freq={freq.tolist()} weights={np.round(w, 3).tolist()}")
     w = jnp.asarray(w, jnp.float32)
 
@@ -207,6 +219,13 @@ def train_on_crops(rgb, lab, widths=(24, 48, 96, 192), blocks_per_stage=2,
         gains = 1.0 + 0.15 * jax.random.normal(key, (x.shape[0], 1, 1, 3))
         xf = x.astype(jnp.float32) / 255.0 * gains
         logits = model.apply(p, jnp.clip(xf, 0.0, 1.0))
+        if ignore_index is not None:
+            keep = (y != ignore_index).astype(jnp.float32)
+            y_safe = jnp.where(y == ignore_index, 0, y)
+            ce = _optax.softmax_cross_entropy_with_integer_labels(
+                logits, y_safe)
+            return (ce * w[y_safe] * keep).sum() / jnp.maximum(
+                keep.sum(), 1.0)
         ce = _optax.softmax_cross_entropy_with_integer_labels(logits, y)
         return (ce * w[y]).mean()
 
@@ -234,12 +253,15 @@ def train_on_crops(rgb, lab, widths=(24, 48, 96, 192), blocks_per_stage=2,
     def val_metrics(p, vrgb, vlab):
         logits = model.apply(p, vrgb.astype(jnp.float32) / 255.0)
         pred = jnp.argmax(logits, -1)
+        keep = (vlab != ignore_index) if ignore_index is not None else \
+            jnp.ones_like(vlab, bool)
         accs = []
-        for li in range(len(LABELS)):
-            sel = vlab == li
-            tp = jnp.sum(sel & (pred == li))
+        for li in range(n_cls):
+            sel = (vlab == li) & keep
+            hit = (pred == li) & keep
+            tp = jnp.sum(sel & hit)
             accs.append(jnp.where(sel.sum() > 0, tp / jnp.maximum(
-                jnp.sum(sel | (pred == li)), 1), -1.0))
+                jnp.sum(sel | hit), 1), -1.0))
         return jnp.stack(accs)
 
     opt_state = optimizer.init(params)
@@ -259,11 +281,11 @@ def train_on_crops(rgb, lab, widths=(24, 48, 96, 192), blocks_per_stage=2,
             logger.info(f"step {(chunk + 1) * STEPS_PER_CALL}: "
                         f"loss={loss:.4f} ({time.time() - t0:.0f} s)")
     iou = np.asarray(val_metrics(params, d_vrgb, d_vlab))
-    val = {LABELS[i]: round(float(iou[i]), 4) for i in range(len(LABELS))
+    val = {labels[i]: round(float(iou[i]), 4) for i in range(n_cls)
            if iou[i] >= 0}
     logger.info(f"held-out crop IoU: {val}")
 
-    config = {"label_names": LABELS, "widths": list(widths),
+    config = {"label_names": labels, "widths": list(widths),
               "arch": arch,
               "blocks_per_stage": blocks_per_stage,
               "train": {"steps": steps, "batch_size": batch_size, "lr": lr,

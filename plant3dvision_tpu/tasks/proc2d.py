@@ -229,11 +229,13 @@ class Segmentation2D(Masks):
             # center crop to (Sy, Sx) as the reference does (:351)
             y0 = max((H - Sy) // 2, 0)
             x0 = max((W - Sx) // 2, 0)
-            return img[y0: y0 + Sy, x0: x0 + Sx, :3]
+            return img[y0: y0 + Sy, x0: x0 + Sx, :3], (x0, y0)
 
         from concurrent.futures import ThreadPoolExecutor
         with paused_gc(), ThreadPoolExecutor(max_workers=8) as ex:
-            imgs = list(ex.map(_load, files))
+            loaded = list(ex.map(_load, files))
+        imgs = [im for im, _ in loaded]
+        offsets = [off for _, off in loaded]
         metas = list(files)
         batch = np.stack(imgs)
 
@@ -245,9 +247,33 @@ class Segmentation2D(Masks):
 
         outfs = self.output().get()
         with paused_gc():
-            self._write_channels(outfs, metas, labels, probs)
+            self._write_channels(outfs, metas, labels, probs, offsets)
 
-    def _write_channels(self, outfs, metas, labels, probs):
+    @staticmethod
+    def _shift_principal_point(md, offset):
+        """The written masks are center-cropped, so any per-image camera
+        metadata must have its principal point shifted by the crop
+        origin or downstream carving misprojects by (x0, y0) px. The
+        reference copies the metadata verbatim (tasks/proc2d.py:383-388)
+        — a latent bug for scans larger than (Sx, Sy)."""
+        x0, y0 = offset
+        if not (x0 or y0):
+            return md
+        for key in ("camera", "colmap_camera", "calibrated_camera"):
+            cam = md.get(key)
+            if not isinstance(cam, dict):
+                continue
+            model = cam.get("camera_model")
+            if isinstance(model, dict) and "params" in model:
+                params = list(model["params"])
+                if len(params) >= 4:
+                    params[2] = params[2] - x0
+                    params[3] = params[3] - y0
+                    model = dict(model, params=params)
+                    md[key] = dict(cam, camera_model=model)
+        return md
+
+    def _write_channels(self, outfs, metas, labels, probs, offsets=None):
         from ..ops.masks import binary_dilation
         import jax.numpy as jnp
         for i, fin in enumerate(metas):
@@ -276,6 +302,8 @@ class Segmentation2D(Masks):
                 fout = outfs.get_file(f"{fin.id}_{label}", create=True)
                 io.write_image(fout, (pred * 255).astype(np.uint8), "png")
                 md = fin.get_metadata()
+                if offsets is not None:
+                    md = self._shift_principal_point(md, offsets[i])
                 md["channel"] = label
                 fout.set_metadata(md)
         outfs.set_metadata("label_names", list(labels))

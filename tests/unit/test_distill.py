@@ -1,0 +1,104 @@
+"""Self-distillation pieces (models/distill.py): pseudo-label rendering,
+ignore-aware training loss, Segmentation2D crop camera fix."""
+
+import networkx as nx
+import numpy as np
+
+from plant3dvision_tpu.models.distill import (IGNORE, LABELS_REAL,
+                                              build_crops,
+                                              label_points_from_tree,
+                                              render_pseudo_labels)
+from plant3dvision_tpu.ops.carving import pack_camera
+
+
+def _cam(fx=100.0, cx=32.0, cy=32.0):
+    return pack_camera([fx, fx, cx, cy], np.eye(3), [0.0, 0.0, 10.0])
+
+
+def test_label_points_from_tree():
+    tree = nx.Graph()
+    tree.add_node(0, position=np.array([0.0, 0.0, 0.0]), labels=["stem"])
+    tree.add_node(1, position=np.array([0.0, 0.0, 5.0]),
+                  labels=["stem", "node"])
+    tree.add_node(2, position=np.array([3.0, 0.0, 5.0]), labels=["fruit"])
+    pts = np.array([[0.1, 0, 0.2], [2.9, 0, 5.1], [0, 0, 4.8]], np.float32)
+    lab = label_points_from_tree(pts, tree)
+    assert lab.tolist() == [1, 2, 1]
+
+
+def test_render_pseudo_labels_geometry():
+    # stem points project near the center column, fruit points to the right
+    stem = np.array([[0.0, y, 0.0] for y in np.linspace(-2, 2, 50)],
+                    np.float32)
+    fruit = np.array([[1.5, 0.0, 0.0]] * 30, np.float32)
+    pts = np.concatenate([stem, fruit])
+    lab = np.array([1] * 50 + [2] * 30, np.uint8)
+    cams = np.stack([_cam()])
+    mask = np.zeros((1, 64, 64), bool)
+    mask[0, :, 28:52] = True
+    out = render_pseudo_labels(pts, lab, cams, mask, dilate=1)
+    assert out.shape == (1, 64, 64)
+    # stem pixels at x ~ 32 (0/10*100+32), fruit at x ~ 47 (1.5/10*100+32)
+    assert out[0, 32, 32] == 1
+    assert out[0, 32, 47] == 2
+    # plant mask without votes -> IGNORE; outside mask, no votes -> bg
+    assert out[0, 5, 40] == IGNORE
+    assert out[0, 5, 5] == 0
+
+
+def test_render_pseudo_labels_ambiguous_and_fringe():
+    # equal stem/fruit votes at one pixel -> ambiguous -> IGNORE
+    pts = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]], np.float32)
+    lab = np.array([1, 2], np.uint8)
+    cams = np.stack([_cam()])
+    mask = np.zeros((1, 64, 64), bool)
+    mask[0, 20:45, 20:45] = True
+    out = render_pseudo_labels(pts, lab, cams, mask, dilate=0)
+    assert out[0, 32, 32] == IGNORE
+    # votes OUTSIDE the plant mask (pose-error fringe) -> IGNORE
+    mask2 = np.zeros((1, 64, 64), bool)
+    out2 = render_pseudo_labels(pts[:1], lab[:1], cams, mask2, dilate=0)
+    assert out2[0, 32, 32] == IGNORE
+
+
+def test_build_crops_shapes():
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (2, 128, 128, 3), dtype=np.uint8)
+    lms = np.zeros((2, 128, 128), np.uint8)
+    lms[:, 60:70, 60:70] = 1
+    rgb, lab = build_crops(imgs, lms, crop=64, per_view=3, bg_per_view=1)
+    assert rgb.shape == (8, 64, 64, 3) and lab.shape == (8, 64, 64)
+    # plant-centered crops actually contain plant pixels
+    assert (lab[:6] == 1).any(axis=(1, 2)).all()
+
+
+def test_train_on_crops_ignore_index():
+    """Tiny ignore-aware training run: loss finite, config carries the
+    custom label set, and ignored pixels don't poison the loss."""
+    from plant3dvision_tpu.models.train_synth import train_on_crops
+
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 255, (8, 32, 32, 3), dtype=np.uint8)
+    lab = rng.integers(0, 3, (8, 32, 32)).astype(np.uint8)
+    lab[:, :4, :] = IGNORE
+    params, config, history = train_on_crops(
+        rgb, lab, widths=(8, 16), blocks_per_stage=1, steps=50,
+        batch_size=2, labels=LABELS_REAL, ignore_index=IGNORE,
+        val_fraction=0.25)
+    assert config["label_names"] == LABELS_REAL
+    assert np.isfinite(history[-1]["loss"])
+
+
+def test_segmentation2d_shift_principal_point():
+    from plant3dvision_tpu.tasks.proc2d import Segmentation2D
+
+    md = {"colmap_camera": {
+        "camera_model": {"params": [1400.0, 1400.0, 720.0, 540.0]},
+        "rotmat": np.eye(3).tolist(), "tvec": [0, 0, 0]},
+        "other": 1}
+    out = Segmentation2D._shift_principal_point(dict(md), (272, 92))
+    p = out["colmap_camera"]["camera_model"]["params"]
+    assert p[2] == 720.0 - 272 and p[3] == 540.0 - 92
+    # zero offset is a no-op
+    out2 = Segmentation2D._shift_principal_point(dict(md), (0, 0))
+    assert out2["colmap_camera"]["camera_model"]["params"][2] == 720.0
