@@ -24,6 +24,15 @@ DEFAULT_CHECKPOINT = REPO / "checkpoints" / "unet_seg.npz"
 #: tests/integration/test_reference_data.py::test_virtual_plant_oracle_ceiling).
 TPUSEGNET_CHECKPOINT = REPO / "checkpoints" / "tpusegnet_seg.npz"
 
+#: The REAL-SCAN checkpoint (background/stem/fruit), self-distilled from
+#: the geometric route's organ labels on the reference real_plant scan —
+#: no hand annotation, no external weights (models/distill.py). Held-out-
+#: view IoU stem 0.78 / fruit 0.82 / background 0.996; full ML route on
+#: the real scan: 19 angles / DTW ncost 0.159 / 21.9 deg vs measures.json
+#: (ML_REAL_REPORT.json, TPU-stamped). Quality guarded in
+#: tests/integration/test_reference_data.py::test_segnet_real_checkpoint_quality.
+SEGNET_REAL_CHECKPOINT = REPO / "checkpoints" / "segnet_real.npz"
+
 
 def install_checkpoint(db, scan_id="models", model_id="unet_seg",
                        path=None):
