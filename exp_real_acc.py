@@ -58,6 +58,14 @@ BASE_CFG = {
         "free_ends": 0.4, "free_ends_eps": 1e-2},
 }
 
+# Measured (round-3 session-5, reduced budget; base = 0.087 / 15.4 deg /
+# 34 angles):
+#   shrink           0.0851 / 13.64 / 30  <- best balanced; adopted
+#   roll             0.1443 / 25.36 / 36  <- per-view roll polish overfits
+#                    the silhouette (same pathology as freed k1 in the BA)
+#   cyc2             0.0866 / 19.33 / 23  <- BA re-run drops organs
+#   cyc2_shrink_roll 0.0831 / 18.42 / 19  <- lowest ncost but a 19-angle
+#                    subset (DTW rewards aligned subsets; not adopted)
 VARIANTS = {
     "base": {},
     "shrink": {"TurntableCalibration": {
