@@ -33,7 +33,7 @@ REPORT = REPO / "ML_REAL_REPORT.json"
 
 def hybrid_cfg(eps=2.0, min_points=5, min_fruit_size=10.0,
                min_elongation_ratio=1.0, sx=1408, sy=1056, batch_size=8,
-               stem_from="cnn"):
+               resize=False):
     from plant3dvision_tpu.runtime.config import load_toml
 
     base = load_toml(REPO / "configs" / "geom_pipe_real_selfcal.toml")
@@ -50,6 +50,8 @@ def hybrid_cfg(eps=2.0, min_points=5, min_fruit_size=10.0,
         "Sx": sx, "Sy": sy,
         "binarize": False, "threshold": 0.2, "dilation": 0,
         "batch_size": batch_size}
+    if resize:  # only set when used so the full-res fileset hash is stable
+        cfg["Segmentation2D"]["resize"] = True
     cfg["SegmentedPointCloud"] = {
         "upstream_task": "PointCloud",
         "upstream_segmentation": "Segmentation2D",
@@ -106,6 +108,9 @@ def main():
     ap.add_argument("--min-points", type=int, default=5)
     ap.add_argument("--mfs", type=float, default=10.0)
     ap.add_argument("--mer", type=float, default=1.0)
+    ap.add_argument("--sx", type=int, default=1408)
+    ap.add_argument("--sy", type=int, default=1056)
+    ap.add_argument("--resize", action="store_true")
     ap.add_argument("--save", action="store_true",
                     help="record result under ml_route_hybrid in "
                          "ML_REAL_REPORT.json")
@@ -116,7 +121,8 @@ def main():
     try:
         res = run_hybrid(db, eps=args.eps, min_points=args.min_points,
                          min_fruit_size=args.mfs,
-                         min_elongation_ratio=args.mer)
+                         min_elongation_ratio=args.mer,
+                         sx=args.sx, sy=args.sy, resize=args.resize)
         if args.save:
             report = json.loads(REPORT.read_text()) if REPORT.exists() else {}
             report["stamp"] = _backend_stamp()

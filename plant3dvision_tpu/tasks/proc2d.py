@@ -182,6 +182,13 @@ class Segmentation2D(Masks):
     query = Parameter(default={})
     Sx = Parameter(default=896)
     Sy = Parameter(default=896)
+    #: False (reference behavior, tasks/proc2d.py:351): center-crop the
+    #: input to (Sy, Sx) and shift the written camera principal point.
+    #: True: resize the input to (Sy, Sx) for the net and resize the
+    #: probability maps back, so the written masks keep the original
+    #: geometry (camera metadata copied verbatim). Lets inference run at
+    #: a fraction of full-frame cost when the plant fills the frame.
+    resize = Parameter(default=False)
     single_label = Parameter(default="")
     inverted_labels = Parameter(default=["background"])
     binarize = Parameter(default=True)
@@ -220,12 +227,20 @@ class Segmentation2D(Masks):
         from ..runtime.task import paused_gc
 
         Sx, Sy = int(self.Sx), int(self.Sy)
+        do_resize = bool(self.resize)
 
         def _load(fin):
             img = io.read_image(fin)
             if img.ndim == 2:
                 img = np.repeat(img[..., None], 3, axis=-1)
             H, W = img.shape[:2]
+            if do_resize:
+                import cv2
+                if (W, H) != (Sx, Sy):
+                    img = cv2.resize(img[..., :3], (Sx, Sy),
+                                     interpolation=cv2.INTER_AREA)
+                # second element = original size (to upsample probs back)
+                return img[..., :3], (W, H)
             # center crop to (Sy, Sx) as the reference does (:351)
             y0 = max((H - Sy) // 2, 0)
             x0 = max((W - Sx) // 2, 0)
@@ -247,7 +262,11 @@ class Segmentation2D(Masks):
 
         outfs = self.output().get()
         with paused_gc():
-            self._write_channels(outfs, metas, labels, probs, offsets)
+            if do_resize:
+                self._write_channels(outfs, metas, labels, probs,
+                                     orig_sizes=offsets)
+            else:
+                self._write_channels(outfs, metas, labels, probs, offsets)
 
     @staticmethod
     def _shift_principal_point(md, offset):
@@ -273,7 +292,8 @@ class Segmentation2D(Masks):
                     md[key] = dict(cam, camera_model=model)
         return md
 
-    def _write_channels(self, outfs, metas, labels, probs, offsets=None):
+    def _write_channels(self, outfs, metas, labels, probs, offsets=None,
+                        orig_sizes=None):
         from ..ops.masks import binary_dilation
         import jax.numpy as jnp
         for i, fin in enumerate(metas):
@@ -281,6 +301,15 @@ class Segmentation2D(Masks):
                 if self.single_label and label != self.single_label:
                     continue
                 pred = probs[i, c]
+                if orig_sizes is not None:
+                    # resize mode: probabilities back to the original
+                    # frame, camera metadata stays verbatim
+                    import cv2
+                    W, H = orig_sizes[i]
+                    if pred.shape[:2] != (H, W):
+                        pred = cv2.resize(np.asarray(pred, np.float32),
+                                          (W, H),
+                                          interpolation=cv2.INTER_LINEAR)
                 # inverted labels (background) are thresholded in the
                 # INVERTED space and re-inverted before writing, exactly
                 # like the reference (tasks/proc2d.py:366-378): the

@@ -120,6 +120,47 @@ def test_cnn_segmented_point_cloud(ml_db):
     assert counts.get("fruit", 0) > 100
 
 
+def test_segmentation2d_resize_mode(ml_db):
+    """resize=True runs the net at (Sy, Sx) and writes the probability
+    maps back at the ORIGINAL frame size with verbatim camera metadata
+    (vs the reference's center crop + principal-point shift). The
+    half-res output must agree with the full-res segmentation."""
+    base = load_toml(CONFIG)
+    ctx = RunContext(ml_db, "synthetic_ml", base)
+    run_task(ctx, "Segmentation2D", report=False)
+    full_fs = ctx.scan.get_fileset(ctx.get_task("Segmentation2D").task_id())
+
+    cfg = load_toml(CONFIG)
+    # 0.75 scale: thin synthetic fruits survive (IoU .48 at 0.5 scale is
+    # resolution loss, not plumbing — the floor here guards geometry)
+    cfg["Segmentation2D"].update({"Sx": 192, "Sy": 192, "resize": True})
+    ctx2 = RunContext(ml_db, "synthetic_ml", cfg)
+    run_task(ctx2, "Segmentation2D", report=False)
+    half_fs = ctx2.scan.get_fileset(ctx2.get_task("Segmentation2D").task_id())
+    assert half_fs.id != full_fs.id  # resize is a significant param
+
+    scored = 0
+    for f in half_fs.get_files()[:8]:
+        ch = f.get_metadata("channel")
+        if ch == "background":
+            continue
+        half = io.read_image(f) > 127
+        assert half.shape == (256, 256)  # original frame, not net size
+        ref = io.read_image(full_fs.get_file(f.id)) > 127
+        if ref.sum() < 50:
+            continue
+        iou = (half & ref).sum() / max((half | ref).sum(), 1)
+        # pedicels are ~2 px wide at this render size: any resampling
+        # halves them (measured .36); hold only the thicker classes to
+        # a real floor, pedicel to overlap-exists
+        assert iou > (0.5 if ch in ("stem", "fruit") else 0.1), (f.id, iou)
+        scored += 1
+        # camera metadata must be verbatim (no principal-point shift)
+        assert f.get_metadata("camera") == \
+            full_fs.get_file(f.id).get_metadata("camera")
+    assert scored >= 3
+
+
 def test_organ_path_angle_accuracy(ml_db):
     """With exact masks, the organ trait path recovers the spiral."""
     cfg = load_toml(CONFIG)

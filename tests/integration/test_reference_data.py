@@ -224,6 +224,55 @@ def test_real_plant_colmap_free_pipeline_dtw():
         assert cal["coherence"] > 0.4, cal["coherence"]
         assert cal["feature_ba"] is None or cal["feature_ba"]["rms_px"] < 3.0
 
+        # -- HYBRID ML tail on the same carve (ml_pipe_real_hybrid.toml):
+        # the distilled CNN labels the geometric point cloud via
+        # SegmentedPointCloud reprojection, organs come from DBSCAN on
+        # the fruit-labeled points. Full-budget TPU capture: 30 angles /
+        # ncost 0.136 / 18.0 deg (ML_REAL_REPORT.json ml_route_hybrid).
+        from plant3dvision_tpu.models import zoo
+        if not zoo.SEGNET_REAL_CHECKPOINT.exists():
+            pytest.skip("segnet_real checkpoint missing")
+        zoo.install_checkpoint(db, model_id="segnet_real",
+                               path=zoo.SEGNET_REAL_CHECKPOINT)
+        db._load_scans()
+        hybrid = dict(cfg)
+        hybrid.pop("CurveSkeleton"), hybrid.pop("RefineSkeleton")
+        hybrid.pop("TreeGraph")
+        hybrid["ModelFilesetExists"] = {"scan_id": "models"}
+        hybrid["Segmentation2D"] = {
+            "upstream_task": "ImagesFilesetExists",
+            "query": {"channel": "rgb"},
+            "model_id": "segnet_real",
+            # half-res resized inference (better than full-frame on this
+            # scan AND 4x cheaper — preset header has the sweep)
+            "Sx": 704, "Sy": 528, "resize": True,
+            "binarize": False, "threshold": 0.2, "dilation": 0,
+            "batch_size": 4}
+        hybrid["SegmentedPointCloud"] = {
+            "upstream_task": "PointCloud",
+            "upstream_segmentation": "Segmentation2D",
+            "use_colmap_poses": True}
+        hybrid["OrganSegmentation"] = {
+            "upstream_task": "SegmentedPointCloud",
+            "eps": 1.0, "min_points": 10}
+        hybrid["AnglesAndInternodes"] = {
+            "upstream_task": "OrganSegmentation",
+            "organ_type": "fruit", "stem_axis": 2,
+            "min_elongation_ratio": 1.0, "min_fruit_size": 7.0}
+        ctx2 = RunContext(db, "real_plant", hybrid)
+        report2 = run_task(ctx2, "AnglesAndInternodesEvaluation",
+                           report=False)
+        fs2 = ctx2.scan.get_fileset(report2["AnglesAndInternodes"]["fileset"])
+        out2 = json.loads(fs2.get_file("AnglesAndInternodes").read_raw())
+        efs2 = ctx2.scan.get_fileset(
+            report2["AnglesAndInternodesEvaluation"]["fileset"])
+        ev2 = json.loads(efs2.get_files()[0].read_raw())
+        # reduced-calibration-budget level measured 33 angles / ncost
+        # 0.153 / 23.2 deg; guards with headroom
+        assert ev2["normalized_cost"] < 0.22, ev2
+        assert ev2["mean_angle_error"] < 31.0, ev2
+        assert 22 <= len(out2["angles"]) <= 40, out2["angles"]
+
 
 def test_virtual_plant_voxels_evaluation_protocol(virtual_db):
     """The reference's VoxelsEvaluation protocol end-to-end on the
