@@ -72,7 +72,18 @@ def run_distill(db, steps=3000, arch="resunet", crop=448, per_view=12):
 def ml_route_cfg(voxel_size=1.0, level_set=0.2, background_prior=0.4,
                  min_score=3.0, eps=2.0, min_points=5, sx=1408, sy=1056,
                  binarize=False, min_contrast=1.0, min_fruit_size=10.0,
-                 batch_size=8):
+                 batch_size=8, resize=False):
+    cfg = _ml_route_cfg(voxel_size, level_set, background_prior, min_score,
+                        eps, min_points, sx, sy, binarize, min_contrast,
+                        min_fruit_size, batch_size)
+    if resize:  # only set when used so older fileset hashes stay stable
+        cfg["Segmentation2D"]["resize"] = True
+    return cfg
+
+
+def _ml_route_cfg(voxel_size, level_set, background_prior, min_score, eps,
+                  min_points, sx, sy, binarize, min_contrast,
+                  min_fruit_size, batch_size):
     return {
         "ModelFilesetExists": {"scan_id": "models"},
         "Segmentation2D": {
