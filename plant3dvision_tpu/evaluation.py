@@ -166,12 +166,19 @@ def make_cylinder_pcd(radius=10.0, height=40.0, n_points=10000, noise=0.0,
 
 
 def estimate_cylinder_radius(points):
-    """PCA axis + mean radial distance (reference evaluation.py:50-104)."""
+    """PCA + mean radial distance (reference evaluation.py:50-104).
+
+    The circle plane is the eigen-pair with the CLOSEST eigenvalues (the
+    two radial directions share the same variance r^2/2) — not the two
+    smallest: a squat cylinder (height < radius) has its axis on the
+    SMALLEST eigenvalue (reference `_find_two_closest`,
+    evaluation.py:95-106)."""
     pts = np.asarray(points.points if hasattr(points, "points") else points)
     c = pts.mean(axis=0)
     x = pts - c
     cov = x.T @ x / len(x)
     w, v = np.linalg.eigh(cov)
-    axis = v[:, np.argmax(w)]
-    radial = x - np.outer(x @ axis, axis)
+    pairs = [(0, 1), (0, 2), (1, 2)]
+    i, j = min(pairs, key=lambda p: abs(w[p[0]] - w[p[1]]))
+    radial = x @ v[:, [i, j]]
     return float(np.linalg.norm(radial, axis=1).mean())
