@@ -156,7 +156,20 @@ def _ray_coverage(cams, alive, sil_uv, sil_valid, origin, voxel_size,
 @functools.partial(jax.jit, static_argnames=("shape", "Hl", "Wl", "n_steps"))
 def _score_batch(thetas, poses, masks_flat, sil_uv, sil_valid, origin,
                  voxel_size, width, height, scale, shape, Hl, Wl, n_steps):
-    """Coherence score for a (B, 9) batch of candidates — one program."""
+    """Coherence score for a (B, 9) batch of candidates — one program.
+
+    Candidates are evaluated in lax.map chunks, not one flat vmap: a
+    vmapped carve materializes (B, V, n_voxels) intermediates, which at
+    large-workspace fixtures (arabidopsis000: 2.5M voxels x 72 views x
+    48 candidates at the fine CEM round) exceeds v5e HBM and crashes the
+    TPU worker. The chunk size keeps the carve intermediate near the
+    measured-safe ~3e8 voxel-view budget; per-candidate work is already
+    big enough to saturate the chip, so the serialization is ~free."""
+    V = poses.shape[0]
+    n_vox = 1
+    for s in shape:
+        n_vox *= int(s)
+    chunk = max(1, min(int(thetas.shape[0]), int(3e8) // max(1, V * n_vox)))
 
     def one(theta):
         cams = cnc_to_cameras(poses, theta, width, height, scale)
@@ -166,7 +179,7 @@ def _score_batch(thetas, poses, masks_flat, sil_uv, sil_valid, origin,
                                 voxel_size, shape, n_steps)
         return mean
 
-    return jax.vmap(one)(thetas)
+    return jax.lax.map(one, thetas, batch_size=chunk)
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "Hl", "Wl", "n_steps"))
@@ -376,7 +389,7 @@ def _dilate1(m):
     return out
 
 
-def estimate_tilt_offset(masks, poses, bbox, f, height):
+def estimate_tilt_offset(masks, poses, bbox, f, height, z_frac=0.5):
     """Closed-form vertical-basin initializer for the CEM seeds.
 
     The CNC tilt can be off by tens of degrees of effective look-down
@@ -404,7 +417,12 @@ def estimate_tilt_offset(masks, poses, bbox, f, height):
     poses = np.asarray(poses, float)
     cx_w = 0.5 * (bbox["x"][0] + bbox["x"][1])
     cy_w = 0.5 * (bbox["y"][0] + bbox["y"][1])
-    cz_w = 0.5 * (bbox["z"][0] + bbox["z"][1])
+    # `z_frac` picks the assumed plant elevation inside the working
+    # volume (0.5 = center). Workspaces much taller than the plant (the
+    # arabidopsis000 fixture's is z 10-1000 mm for a ~300 mm plant) put
+    # the center far from the plant, so the seed loop sweeps a few
+    # fractions to cover every vertical basin.
+    cz_w = bbox["z"][0] + z_frac * (bbox["z"][1] - bbox["z"][0])
     d = float(np.mean(np.hypot(poses[:, 0] - cx_w, poses[:, 1] - cy_w)))
     elev = np.arctan2(cz_w - float(np.mean(poses[:, 2])), d)
     off = np.arctan((v_bar - height / 2.0) / f)
@@ -485,20 +503,28 @@ def calibrate_turntable(masks, poses, bbox, *, f_init=1400.0,
                 jnp.float32(W), jnp.float32(H), jnp.float32(1.0 / k))
 
         if rnd == 0:
-            # seed generation: roll quadrant x focal spread (the roll
-            # ambiguity from the imager's stored-image rotation is 4-way),
-            # each seed vertically centered by the mask-centroid rule
+            # seed generation: roll quadrant x focal spread x plant
+            # elevation (the roll ambiguity from the imager's
+            # stored-image rotation is 4-way; the elevation sweep covers
+            # workspaces much taller than the plant, where the
+            # mask-centroid rule anchored at the volume CENTER lands in
+            # the wrong vertical basin, which no local search recovers
+            # from — observed on the arabidopsis000 fixture, z 10-1000 mm
+            # for a ~300 mm plant)
+            zspan = (z1 - z0) / max(1e-6, min(x1 - x0, y1 - y0))
+            z_fracs = (0.2, 0.5, 0.8) if zspan > 1.2 else (0.5,)
             seeds = []
             for roll0 in (0.0, 90.0, 180.0, 270.0):
                 for fs in (0.7, 1.0, 1.4):
-                    th = mean.copy()
-                    th[0] = f_init * fs
-                    elev_dt, img_off = estimate_tilt_offset(
-                        masks, poses, bbox, th[0], H)
-                    sign = {0.0: 1.0, 180.0: -1.0}.get(roll0, 0.0)
-                    th[4] = elev_dt + sign * img_off
-                    th[5] = roll0
-                    seeds.append(th)
+                    for zf in z_fracs:
+                        th = mean.copy()
+                        th[0] = f_init * fs
+                        elev_dt, img_off = estimate_tilt_offset(
+                            masks, poses, bbox, th[0], H, z_frac=zf)
+                        sign = {0.0: 1.0, 180.0: -1.0}.get(roll0, 0.0)
+                        th[4] = elev_dt + sign * img_off
+                        th[5] = roll0
+                        seeds.append(th)
             scores = np.asarray(_score_batch(
                 jnp.asarray(np.stack(seeds)), *args,
                 shape=shape, Hl=Hl, Wl=Wl, n_steps=steps))

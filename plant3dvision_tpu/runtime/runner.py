@@ -156,7 +156,9 @@ def _run_order(order, results) -> None:
         attempts = 1 + getattr(task, "retry_count", 0)
         last_err = None
         status = "failed"
+        n_tried = 0
         for attempt in range(attempts):
+            n_tried = attempt + 1
             try:
                 if attempt:
                     logger.warning(f"{name}: retry {attempt}/{attempts - 1}")
@@ -182,7 +184,8 @@ def _run_order(order, results) -> None:
             "fileset": getattr(out, "fileset_id", None),
         }
         if last_err is not None:
-            raise TaskFailure(f"Task {name} failed after {attempts} attempts") from last_err
+            raise TaskFailure(
+                f"Task {name} failed after {n_tried} attempt(s)") from last_err
         if status != "done":
             raise TaskFailure(f"Task {name} failed")
         logger.info(f"{name}: done in {dt:.2f}s")

@@ -58,6 +58,13 @@ class Voxels(RomiTask):
                 if bbox is None:
                     bbox = images_fs.get_metadata("workspace")
         if bbox is None:
+            # reference fallback chain (colmap.py:548-570)
+            bbox = scan.get_metadata("workspace")
+        if bbox is None:
+            scanner = scan.get_metadata("scanner")
+            if isinstance(scanner, dict):
+                bbox = scanner.get("workspace")
+        if bbox is None:
             raise ValueError("Could not obtain a valid bounding-box")
         return bbox
 

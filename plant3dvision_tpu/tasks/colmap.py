@@ -116,6 +116,36 @@ def get_cnc_poses(scan, images_fileset=None):
     return poses
 
 
+def normalize_cnc_poses(poses):
+    """Normalize (V, 5) CNC poses to [X, Y, Z, pan_deg, tilt_deg].
+
+    Handles the two shipped-fixture dialects: real rigs log degrees with
+    pan in column 3 (tests/testdata/real_plant `approximate_pose`), the
+    virtual scanner logs radians with the orbit-tracking angle in column 4
+    (tests/testdata/arabidopsis000 `pose`). The reference never consumes
+    these columns — it only feeds X, Y, Z to COLMAP's model_aligner
+    (colmap.py:633-681) — so the dialect split is invisible there.
+    Returns a normalized copy and a list of applied conversions."""
+    poses = np.array(poses, np.float32)
+    applied = []
+    ang = poses[:, 3:5]
+    # Radians auto-detect: the orbit-tracking angle of a turntable scan
+    # spans ~a full turn — ~2*pi in radians vs ~360 in degrees — so the
+    # spread itself is the unit fingerprint (the absolute value is not:
+    # arabidopsis000's pan runs pi/2..pi/2+2*pi, beyond 2*pi).
+    spread = np.ptp(ang, axis=0).max()
+    if 0.5 * np.pi < spread <= 2.2 * np.pi:
+        poses[:, 3:5] = np.degrees(ang)
+        applied.append("radians->degrees")
+    # Pan is the angle tracking the orbit (~full turn); tilt is
+    # near-constant. Pick the wider-spread column as pan.
+    spread = np.ptp(poses[:, 3:5], axis=0)
+    if spread[1] > max(spread[0], 90.0):
+        poses[:, [3, 4]] = poses[:, [4, 3]]
+        applied.append("pan/tilt swapped")
+    return poses, applied
+
+
 def _rotmat_to_qvec(R):
     """COLMAP (w, x, y, z) quaternion from a world->cam rotation matrix."""
     from scipy.spatial.transform import Rotation
@@ -199,9 +229,37 @@ class TurntableCalibration(RomiTask):
                 bbox = (images_fs.get_metadata("bounding_box")
                         or images_fs.get_metadata("workspace"))
         if bbox is None:
+            # reference fallback chain (colmap.py:548-570): scan-level
+            # 'workspace', then 'scanner'.workspace (the arabidopsis000
+            # fixture stores it there)
+            bbox = scan.get_metadata("workspace")
+        if bbox is None:
+            scanner = scan.get_metadata("scanner")
+            if isinstance(scanner, dict):
+                bbox = scanner.get("workspace")
+        if bbox is None:
             raise ValueError("TurntableCalibration needs a bounding box "
                              "(param, scan metadata, or images workspace)")
         return {k: [float(v[0]), float(v[1])] for k, v in bbox.items()}
+
+    @staticmethod
+    def _ba_focal_guard(ba, f_ref, lo=0.5, hi=2.0):
+        """Reject a bundle-adjustment result whose focal ran away from the
+        silhouette-stage estimate. The BA's f prior is intentionally free
+        (real rigs need it), but on near-planar/thin feature sets the
+        focal/depth gauge is ill-conditioned and can diverge by orders of
+        magnitude while keeping sub-pixel rms (observed on the
+        arabidopsis000 fixture: f 495 -> 70065 at rms 0.92 px)."""
+        if ba is None:
+            return None
+        ratio = float(ba["theta_raw"][0]) / max(float(f_ref), 1e-6)
+        if not (lo <= ratio <= hi):
+            logger.warning(
+                "feature BA rejected: focal drifted %.0fx from the "
+                "silhouette stage (%.1f -> %.1f); keeping silhouette "
+                "cameras", ratio, float(f_ref), float(ba["theta_raw"][0]))
+            return None
+        return ba
 
     def run(self):
         import json as _json
@@ -229,7 +287,10 @@ class TurntableCalibration(RomiTask):
                     f"image {f.id}: needs a 5-vector (approximate_)pose "
                     "[X, Y, Z, pan, tilt] for turntable calibration")
             poses.append(p[:5])
-        poses = np.asarray(poses, np.float32)
+        poses, conversions = normalize_cnc_poses(poses)
+        if conversions:
+            logger.info("TurntableCalibration: pose normalization applied: "
+                        f"{', '.join(conversions)}")
 
         coefs = self.mask_params
         if isinstance(coefs, str):
@@ -280,6 +341,7 @@ class TurntableCalibration(RomiTask):
                     f"feature BA: rms {ba['rms_px']:.2f} px, "
                     f"{ba['n_inliers']}/{ba['n_obs']} inlier obs over "
                     f"{ba['n_tracks']} tracks, theta {ba['theta']}")
+                ba = self._ba_focal_guard(ba, res["theta_raw"][0])
             else:
                 logger.warning("feature BA skipped (too few matches); "
                                "keeping silhouette cameras")
@@ -326,6 +388,9 @@ class TurntableCalibration(RomiTask):
             logger.info(
                 f"polish<->BA cycle {cyc + 1}: rms {ba['rms_px']:.2f} px, "
                 f"{ba['n_inliers']}/{ba['n_obs']} inliers")
+            ba = self._ba_focal_guard(ba, theta_raw[0])
+            if ba is None:
+                break
             theta_raw = ba["theta_raw"]
             jitter = (ba["dpan_view"], ba["dtilt_view"], ba["droll_view"])
             k1 = float(ba["k1"])

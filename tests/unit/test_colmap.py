@@ -492,3 +492,35 @@ def test_colmap_task_extrinsic_calibration_scan(temp_db, fake_colmap,
         assert "acquisition" in str(excinfo.value.__cause__)
     finally:
         os.environ.pop("COLMAP_WD", None)
+
+
+def test_normalize_cnc_poses_dialects():
+    """Pose-metadata dialects across the reference's shipped fixtures:
+    real rigs log [X, Y, Z, pan_deg, tilt_deg] (real_plant), the virtual
+    scanner logs radians with pan in the LAST column (arabidopsis000)."""
+    import numpy as np
+
+    from plant3dvision_tpu.tasks.colmap import normalize_cnc_poses
+
+    # real_plant dialect: degrees, pan in column 3 -> unchanged
+    real = np.array([[75.0, 375.0, 80, 270.0 + 6 * i, 0] for i in range(60)])
+    out, applied = normalize_cnc_poses(real)
+    assert applied == []
+    np.testing.assert_allclose(out, real)
+
+    # arabidopsis000 dialect: radians, constant tilt in col 3, orbit pan
+    # in col 4 -> converted + swapped
+    virt = np.array([[350 * np.cos(np.radians(5 * i)),
+                      350 * np.sin(np.radians(5 * i)), 600.0,
+                      np.pi / 3, np.pi / 2 + np.radians(5 * i)]
+                     for i in range(72)])
+    out, applied = normalize_cnc_poses(virt)
+    assert applied == ["radians->degrees", "pan/tilt swapped"]
+    np.testing.assert_allclose(out[:, 4], 60.0, atol=1e-4)       # tilt
+    np.testing.assert_allclose(out[0, 3], 90.0, atol=1e-4)       # pan_0
+    np.testing.assert_allclose(out[10, 3], 140.0, atol=1e-3)
+
+    # degenerate: all-zero angles (single-view rig) -> untouched
+    flat = np.array([[0.0, 100.0, 50.0, 0.0, 0.0]] * 4)
+    out, applied = normalize_cnc_poses(flat)
+    assert applied == []
