@@ -81,7 +81,14 @@ def main():
     ap.add_argument("--mask-thr", type=float, default=0.15)
     ap.add_argument("--f-init", type=float, default=700.0)
     ap.add_argument("--budget", default="full")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (sitecustomize otherwise "
+                         "registers the TPU; env JAX_PLATFORMS is not enough)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from plant3dvision_tpu.runtime import RunContext, run_task
     from plant3dvision_tpu.utils import locate_task_filesets

@@ -158,6 +158,16 @@ def _score_batch(thetas, poses, masks_flat, sil_uv, sil_valid, origin,
                  voxel_size, width, height, scale, shape, Hl, Wl, n_steps):
     """Coherence score for a (B, 9) batch of candidates — one program.
 
+    NOTE the score is silhouette-ray RECALL only. A background-ray
+    precision term (hit rate of just-outside-the-silhouette rays
+    against a kill-tolerant hull) was built and measured a NO-OP for
+    the focal-length degeneracy seen on arabidopsis000: a global focal
+    error is (to first order) a gauge transformation of the circular
+    rig — the hull and the probe rays fatten together, so neither
+    recall nor precision moves. f must come from the feature bundle
+    adjustment (ops/sfmlite.iterative_refine multi-start), not from
+    silhouettes.
+
     Candidates are evaluated in lax.map chunks, not one flat vmap: a
     vmapped carve materializes (B, V, n_voxels) intermediates, which at
     large-workspace fixtures (arabidopsis000: 2.5M voxels x 72 views x
@@ -180,6 +190,36 @@ def _score_batch(thetas, poses, masks_flat, sil_uv, sil_valid, origin,
         return mean
 
     return jax.lax.map(one, thetas, batch_size=chunk)
+
+
+_SCORE_SUB = 8  # candidates per dispatched scoring program
+
+
+def _score_many(thetas, args, shape, Hl, Wl, n_steps):
+    """Score a candidate population in fixed-size program dispatches.
+
+    One jit call over the whole population is one giant device program —
+    B x V x n_vox mask gathers back to back. At the arabidopsis000
+    fixture's workspace (48 candidates x 72 views x 2.5M voxels at the
+    4 mm round ~= 8.7G gathers ~= 70 s on the ~124M/s gather unit) a
+    single program of that length killed the TPU worker outright, with
+    or without lax.map chunking — the chunking bounds memory, not
+    program duration. Dispatching `_SCORE_SUB`-candidate programs keeps
+    every program short, and padding the tail keeps it to exactly one
+    compiled shape per round."""
+    thetas = np.asarray(thetas, np.float32)
+    B = len(thetas)
+    out = np.empty(B, np.float32)
+    for s in range(0, B, _SCORE_SUB):
+        sub = thetas[s:s + _SCORE_SUB]
+        n = len(sub)
+        if n < _SCORE_SUB:
+            sub = np.concatenate(
+                [sub, np.repeat(sub[-1:], _SCORE_SUB - n, axis=0)])
+        sc = np.asarray(_score_batch(jnp.asarray(sub), *args, shape=shape,
+                                     Hl=Hl, Wl=Wl, n_steps=n_steps))
+        out[s:s + n] = sc[:n]
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "Hl", "Wl", "n_steps"))
@@ -460,8 +500,9 @@ def calibrate_turntable(masks, poses, bbox, *, f_init=1400.0,
     poses : (V, 5) CNC [X, Y, Z, pan_deg, tilt_deg] per image.
     bbox : {"x": [lo, hi], "y": ..., "z": ...} working volume (mm).
     free : names of theta components to optimize (rest stay 0 / f_init).
-    rounds : multi-resolution rounds; each halves `downsample`/`voxel_mm`
-        and restarts CEM around the previous optimum with tighter widths.
+    rounds : multi-resolution rounds; each halves `downsample`/`voxel_mm`,
+        crops the scoring volume to the previous round's hull bbox, and
+        restarts CEM around the previous optimum with tighter widths.
 
     Returns dict with theta (named + raw), coherence, history.
     """
@@ -471,7 +512,7 @@ def calibrate_turntable(masks, poses, bbox, *, f_init=1400.0,
     rng = np.random.default_rng(seed)
 
     x0, x1 = bbox["x"]; y0, y1 = bbox["y"]; z0, z1 = bbox["z"]
-    origin_np = np.array([x0, y0, z0], np.float32)
+    wx0, wx1, wy0, wy1, wz0, wz1 = x0, x1, y0, y1, z0, z1  # workspace
 
     mean = np.zeros(9, np.float32)
     mean[0] = f_init
@@ -492,6 +533,7 @@ def calibrate_turntable(masks, poses, bbox, *, f_init=1400.0,
         vs = voxel_mm / (2 ** rnd)
         masks_lo = _dilate1(_maxpool2d(masks, k))
         Hl, Wl = masks_lo.shape[1:]
+        origin_np = np.array([x0, y0, z0], np.float32)
         shape = (int((x1 - x0) / vs) + 1, int((y1 - y0) / vs) + 1,
                  int((z1 - z0) / vs) + 1)
         steps = n_steps or int(np.ceil(np.linalg.norm(shape) * 0.75))
@@ -525,9 +567,8 @@ def calibrate_turntable(masks, poses, bbox, *, f_init=1400.0,
                         th[4] = elev_dt + sign * img_off
                         th[5] = roll0
                         seeds.append(th)
-            scores = np.asarray(_score_batch(
-                jnp.asarray(np.stack(seeds)), *args,
-                shape=shape, Hl=Hl, Wl=Wl, n_steps=steps))
+            scores = _score_many(np.stack(seeds), args,
+                                 shape=shape, Hl=Hl, Wl=Wl, n_steps=steps)
             b = int(np.argmax(scores))
             mean = seeds[b].copy()
             # roll is now a local refinement around the winning quadrant
@@ -540,9 +581,8 @@ def calibrate_turntable(masks, poses, bbox, *, f_init=1400.0,
                 (pop, 9)).astype(np.float32)
             cand[0] = mean  # keep the incumbent
             cand[:, 0] = np.clip(cand[:, 0], *f_bounds)
-            scores = np.asarray(_score_batch(
-                jnp.asarray(cand), *args,
-                shape=shape, Hl=Hl, Wl=Wl, n_steps=steps))
+            scores = _score_many(cand, args,
+                                 shape=shape, Hl=Hl, Wl=Wl, n_steps=steps)
             order = np.argsort(scores)[::-1]
             elite = cand[order[:elites]]
             mean = elite.mean(axis=0)
@@ -566,6 +606,35 @@ def calibrate_turntable(masks, poses, bbox, *, f_init=1400.0,
             jnp.asarray(best_theta), *args,
             shape=shape, Hl=Hl, Wl=Wl, n_steps=steps)
 
+        if rnd < rounds - 1:
+            # Coarse-to-fine in EXTENT, not just resolution: crop the
+            # next round's scoring volume to this round's hull. On
+            # workspaces much larger than the plant (arabidopsis000:
+            # 400x400x990 mm for a ~300 mm plant) rescoring the full
+            # workspace at the halved voxel size is 8x the work for
+            # empty space. Crop from the KILL-TOLERANT hull, not the
+            # strict one — the round's theta is still rough, and a few
+            # misaligned views strict-carving away true plant would cut
+            # it out of every later round's reach — plus a generous pad.
+            cams_best = cnc_to_cameras(
+                jnp.asarray(poses), jnp.asarray(best_theta),
+                jnp.float32(W), jnp.float32(H), jnp.float32(1.0 / k))
+            alive_tol = _robust_alive(
+                cams_best, args[1], args[4], jnp.float32(vs),
+                shape, Hl, Wl, jnp.int16(2))
+            idx = np.argwhere(np.asarray(alive_tol))
+            if len(idx):
+                lo = origin_np + idx.min(axis=0) * vs
+                hi = origin_np + (idx.max(axis=0) + 1) * vs
+                pad = np.maximum(0.2 * (hi - lo), 8.0 * vs)
+                lo = np.maximum(lo - pad, [wx0, wy0, wz0])
+                hi = np.minimum(hi + pad, [wx1, wy1, wz1])
+                x0, y0, z0 = (float(v) for v in lo)
+                x1, y1, z1 = (float(v) for v in hi)
+                history.append({
+                    "round": rnd, "stage": "hull-crop",
+                    "bbox": [[x0, x1], [y0, y1], [z0, z1]]})
+
     alive_np = np.asarray(alive)
     idx = np.argwhere(alive_np)
     hull_bbox = None
@@ -578,12 +647,21 @@ def calibrate_turntable(masks, poses, bbox, *, f_init=1400.0,
                      "y": [float(lo[1]), float(hi[1])],
                      "z": [float(lo[2]), float(hi[2])]}
 
+    # f pinned at a search bound flags the circular-motion focal gauge
+    # (silhouette coherence barely moves along f, so the CEM can drift
+    # to a bound) — callers should multi-start the feature BA's focal
+    # (sfmlite.iterative_refine f_starts) instead of trusting this f.
+    f_best = float(best_theta[0])
+    f_at_bound = ("lo" if f_best <= f_bounds[0] * 1.02 else
+                  "hi" if f_best >= f_bounds[1] * 0.98 else None)
+
     return {
         "theta": {n: float(best_theta[i]) for i, n in enumerate(THETA_NAMES)},
         "theta_raw": best_theta,
         "coherence": float(coh),
         "per_view_coverage": np.asarray(per_view).tolist(),
         "hull_bounding_box": hull_bbox,
+        "f_at_bound": f_at_bound,
         "history": history,
     }
 

@@ -470,8 +470,10 @@ def refine_turntable(matches, poses, theta0, width, height, *,
 def iterative_refine(gray, kp_masks, theta0, poses, width, height, *,
                      rounds=2, k=512, strides=(1, 2, 4, 7, 12),
                      downsample=1, min_matches=50, estimate_k1=False,
+                     f_starts=(1.0,),
                      schedule=((80.0, (60.0, 12.0, 4.0)),
-                               (15.0, (8.0, 4.0, 2.5)))):
+                               (15.0, (8.0, 4.0, 2.5))),
+                     _cache=None):
     """Alternate matching and bundle adjustment (SfM-style refinement).
 
     Round 1 gates raw matches with the rough silhouette calibration
@@ -480,11 +482,24 @@ def iterative_refine(gray, kp_masks, theta0, poses, width, height, *,
     cameras at a tighter gate, growing the inlier set while shedding
     outliers, then re-runs the BA warm-started from the previous
     solution. Detection/matching runs once (cached). Returns the last
-    refine_turntable result.
+    refine_turntable result (with an extra "f_start" key), or None when
+    no start yields enough matches.
+
+    `f_starts` multi-starts the focal length: round 1 runs once per
+    multiplier of theta0's f and the start whose BA keeps the most
+    final-gate inliers wins (later rounds continue from it alone). This
+    is the degeneracy-breaker for silhouette-calibrated rigs: a global
+    focal error is a near-gauge of the circular-motion silhouette score
+    (the hull and its probe rays fatten together), so the silhouette
+    stage can hand the BA an f that is off by 2-3x and pinned at its
+    search bound (observed on the arabidopsis000 fixture), and a single
+    GN descent from such a start collapses onto a small degenerate
+    inlier subset instead of crossing the valley. Starts are scored on
+    the SAME raw match set and gates, so inlier counts are comparable.
     """
-    cache = {}
-    theta, jitter, ba = np.asarray(theta0, np.float32), None, None
-    k1 = 0.0
+    if _cache is None:
+        _cache = {}
+    theta0 = np.asarray(theta0, np.float32)
     # k1 from feature tracks of a centered rotating plant is barely
     # identifiable (it trades against f): on the real_plant fixture the
     # freed estimate flips sign run-to-run and undistorting with it
@@ -494,12 +509,39 @@ def iterative_refine(gray, kp_masks, theta0, poses, width, height, *,
     free = ("f", "dpan", "dtilt", "roll", "mx", "my")
     if estimate_k1:
         free = free + ("k1",)
-    for rnd in range(min(rounds, len(schedule))):
+
+    mgate, bgates = schedule[0]
+    best = None
+    for m in (f_starts or (1.0,)):
+        th = theta0.copy()
+        th[0] *= float(m)
+        matches = build_matches(gray, kp_masks, th, poses, width, height,
+                                k=k, strides=strides, gate_px=mgate,
+                                downsample=downsample, _cache=_cache)
+        if len(matches["va"]) < min_matches:
+            continue
+        try:
+            cand = refine_turntable(matches, poses, th, width, height,
+                                    gate_px=bgates, free=free)
+        except ValueError:          # no multi-view tracks at this gating
+            continue
+        if not np.isfinite(cand["rms_px"]) or cand["theta_raw"][0] <= 0:
+            continue
+        if best is None or cand["n_inliers"] > best[1]["n_inliers"]:
+            best = (float(m), cand)
+    if best is None:
+        return None
+
+    m_win, ba = best
+    theta = ba["theta_raw"]
+    jitter = (ba["dpan_view"], ba["dtilt_view"], ba["droll_view"])
+    k1 = ba["k1"]
+    for rnd in range(1, min(rounds, len(schedule))):
         mgate, bgates = schedule[rnd]
         matches = build_matches(gray, kp_masks, theta, poses, width, height,
                                 k=k, strides=strides, gate_px=mgate,
                                 downsample=downsample, jitter0=jitter,
-                                k10=k1, _cache=cache)
+                                k10=k1, _cache=_cache)
         if len(matches["va"]) < min_matches:
             break
         ba = refine_turntable(matches, poses, theta, width, height,
@@ -508,6 +550,7 @@ def iterative_refine(gray, kp_masks, theta0, poses, width, height, *,
         theta = ba["theta_raw"]
         jitter = (ba["dpan_view"], ba["dtilt_view"], ba["droll_view"])
         k1 = ba["k1"]
+    ba["f_start"] = m_win
     return ba
 
 

@@ -134,15 +134,27 @@ def normalize_cnc_poses(poses):
     # spread itself is the unit fingerprint (the absolute value is not:
     # arabidopsis000's pan runs pi/2..pi/2+2*pi, beyond 2*pi).
     spread = np.ptp(ang, axis=0).max()
+    euler = False
     if 0.5 * np.pi < spread <= 2.2 * np.pi:
         poses[:, 3:5] = np.degrees(ang)
         applied.append("radians->degrees")
+        euler = True
     # Pan is the angle tracking the orbit (~full turn); tilt is
     # near-constant. Pick the wider-spread column as pan.
     spread = np.ptp(poses[:, 3:5], axis=0)
     if spread[1] > max(spread[0], 90.0):
         poses[:, [3, 4]] = poses[:, [4, 3]]
         applied.append("pan/tilt swapped")
+    if euler:
+        # The radians dialect is the virtual scanner's Blender Euler pose
+        # (rx, rz): the camera looks along -z_cam rotated by Rz(rz)Rx(rx),
+        # so rz already matches the rig pan convention (view azimuth =
+        # pan + 90 deg, verified on arabidopsis000: rz=90 deg at camera
+        # (350,0) looking at the origin) while the "tilt" column is rx,
+        # the angle from straight-down — a level camera has rx=90, and
+        # the selfcal convention (tilt>0 looks up) is tilt = rx - 90.
+        poses[:, 4] -= 90.0
+        applied.append("euler rx->tilt")
     return poses, applied
 
 
@@ -195,6 +207,14 @@ class TurntableCalibration(RomiTask):
     #: downstream angle accuracy on the real_plant fixture (see
     #: ops/sfmlite.iterative_refine).
     estimate_k1 = Parameter(default=False)
+    #: focal multipliers multi-starting the bundle adjustment
+    #: (sfmlite.iterative_refine f_starts). "auto" = single start at the
+    #: silhouette-stage f, widened to a log grid when that f is pinned
+    #: at its CEM search bound — the signature of the circular-motion
+    #: focal gauge (ops/selfcal._score_batch docstring; observed on the
+    #: arabidopsis000 fixture where f slid to the 400 px bound while the
+    #: true value is ~1030 px).
+    ba_f_starts = Parameter(default="auto")
     feature_downsample = Parameter(default=1)
     n_keypoints = Parameter(default=512)
     strides = Parameter(default=[1, 2, 4, 7, 12])
@@ -260,6 +280,20 @@ class TurntableCalibration(RomiTask):
                 "cameras", ratio, float(f_ref), float(ba["theta_raw"][0]))
             return None
         return ba
+
+    def _resolve_f_starts(self, res):
+        """Focal multipliers for the BA multi-start (see ba_f_starts)."""
+        spec = self.ba_f_starts
+        if isinstance(spec, (list, tuple)):
+            return tuple(float(s) for s in spec)
+        if str(spec) != "auto":
+            return tuple(float(s) for s in str(spec).split(","))
+        bound = res.get("f_at_bound")
+        if bound == "lo":      # true f likely above the pinned estimate
+            return (1.0, 1.6, 2.6, 4.2)
+        if bound == "hi":
+            return (1.0, 0.63, 0.38, 0.24)
+        return (1.0,)
 
     def run(self):
         import json as _json
@@ -329,19 +363,30 @@ class TurntableCalibration(RomiTask):
             gray = np.stack([g for _, g in loaded])
             from ..ops.masks import _dilate_np
             kp_masks = np.stack([_dilate_np(m, 6) for m in masks])
+            f_starts = self._resolve_f_starts(res)
+            if len(f_starts) > 1:
+                logger.info(f"BA focal multi-start (silhouette f "
+                            f"{res['theta']['f']:.0f} at bound "
+                            f"{res.get('f_at_bound')}): x{f_starts}")
             ba = sfmlite.iterative_refine(
                 gray, kp_masks, res["theta_raw"], poses, W, H,
                 k=int(self.n_keypoints),
                 strides=tuple(int(s) for s in self.strides),
                 downsample=int(self.feature_downsample),
                 min_matches=int(self.min_matches),
-                estimate_k1=bool(self.estimate_k1))
+                estimate_k1=bool(self.estimate_k1),
+                f_starts=f_starts)
             if ba is not None:
                 logger.info(
                     f"feature BA: rms {ba['rms_px']:.2f} px, "
                     f"{ba['n_inliers']}/{ba['n_obs']} inlier obs over "
-                    f"{ba['n_tracks']} tracks, theta {ba['theta']}")
-                ba = self._ba_focal_guard(ba, res["theta_raw"][0])
+                    f"{ba['n_tracks']} tracks (f start x"
+                    f"{ba.get('f_start', 1.0):g}), theta {ba['theta']}")
+                # guard against drift from the WINNING start's f — the
+                # multi-start exists precisely because the silhouette f
+                # can be a bound-pinned gauge artifact
+                ba = self._ba_focal_guard(
+                    ba, res["theta_raw"][0] * ba.get("f_start", 1.0))
             else:
                 logger.warning("feature BA skipped (too few matches); "
                                "keeping silhouette cameras")

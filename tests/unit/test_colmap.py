@@ -515,8 +515,10 @@ def test_normalize_cnc_poses_dialects():
                       np.pi / 3, np.pi / 2 + np.radians(5 * i)]
                      for i in range(72)])
     out, applied = normalize_cnc_poses(virt)
-    assert applied == ["radians->degrees", "pan/tilt swapped"]
-    np.testing.assert_allclose(out[:, 4], 60.0, atol=1e-4)       # tilt
+    assert applied == ["radians->degrees", "pan/tilt swapped",
+                       "euler rx->tilt"]
+    # rx=60 deg from straight-down = 30 deg look-down = tilt -30
+    np.testing.assert_allclose(out[:, 4], -30.0, atol=1e-4)      # tilt
     np.testing.assert_allclose(out[0, 3], 90.0, atol=1e-4)       # pan_0
     np.testing.assert_allclose(out[10, 3], 140.0, atol=1e-3)
 

@@ -23,9 +23,11 @@ def _ring_poses(n_views, radius=200.0, z=60.0):
     ], axis=1).astype(np.float32)
 
 
-def test_refine_turntable_recovers_focal_and_jitter():
-    rng = np.random.default_rng(3)
-    V, W, H = 20, 320, 240
+def _synthetic_scene(V=20, W=320, H=240, seed=3):
+    """Ring scene with known calibration + CNC jitter -> (poses, matches,
+    theta_true, jit_pan). Matches are exact multi-view tracks with 0.3 px
+    observation noise (what build_tracks/refine_turntable consume)."""
+    rng = np.random.default_rng(seed)
     poses = _ring_poses(V)
 
     theta_true = np.zeros(9, np.float32)
@@ -72,6 +74,12 @@ def test_refine_turntable_recovers_focal_and_jitter():
     matches = {n: np.concatenate(v) for n, v in cols.items()}
     matches["ua"] = matches["ua"].astype(np.float32)
     matches["ub"] = matches["ub"].astype(np.float32)
+    return poses, matches, theta_true, jit_pan
+
+
+def test_refine_turntable_recovers_focal_and_jitter():
+    V, W, H = 20, 320, 240
+    poses, matches, theta_true, jit_pan = _synthetic_scene(V, W, H)
 
     theta0 = np.zeros(9, np.float32)
     theta0[0] = 300.0          # ~15% focal error from the silhouette stage
@@ -110,3 +118,38 @@ def test_harris_and_matching_on_shifted_texture():
     d = np.asarray(uv[1])[np.asarray(idx_b)[ka]] - np.asarray(uv[0])[ka]
     med = np.median(d, axis=0)
     np.testing.assert_allclose(med, [0.0, -5.0], atol=0.5)
+
+
+def test_iterative_refine_multistart_recovers_gross_focal_error():
+    """A silhouette-stage f off by ~2.4x (the circular-motion focal
+    gauge pins it at the CEM bound — observed on arabidopsis000) must
+    be recovered by the f_starts multi-start: the winning start is
+    selected by final-gate inlier count on the shared raw match set."""
+    V, W, H = 20, 320, 240
+    poses, matches, theta_true, _ = _synthetic_scene(V, W, H)
+
+    theta0 = np.zeros(9, np.float32)
+    theta0[0] = 110.0          # truth is 260 — a 2.4x underestimate
+    theta0[3] = 0.7
+
+    # detection/matching is bypassed via the pre-seeded raw-match cache
+    # (build_matches re-gates per start without touching images). The
+    # 2.4x start lands near truth and must win on final-gate inliers
+    # over the 20x-low 0.05x start (the gross start converges on clean
+    # synthetic data too — the pathology this guards against needs real
+    # outliers — but selection + f_start bookkeeping is what's under
+    # test here; the ara0 fixture is the integration-level oracle).
+    res = sfmlite.iterative_refine(
+        None, None, theta0, poses, W, H, min_matches=50,
+        f_starts=(0.05, 2.4), _cache={"raw": dict(matches)})
+    assert res is not None
+    assert res["f_start"] in (0.05, 2.4)
+    assert abs(res["theta"]["f"] - 260.0) / 260.0 < 0.01, res["theta"]
+    assert res["rms_px"] < 1.0, res["rms_px"]
+
+    # every start failing -> None (the task falls back to silhouette
+    # cameras), not an exception
+    none_res = sfmlite.iterative_refine(
+        None, None, theta0, poses, W, H, min_matches=10 ** 9,
+        f_starts=(1.0, 2.4), _cache={"raw": dict(matches)})
+    assert none_res is None
