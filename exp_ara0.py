@@ -117,7 +117,7 @@ def main():
                "internodes": [round(i, 1) for i in out["internodes"]],
                "coherence": cal.get("coherence"),
                "rms_px": (cal.get("feature_ba") or {}).get("rms_px"),
-               "f": cal.get("f"), "seconds": secs}
+               "f": cal.get("theta", {}).get("f"), "seconds": secs}
         print(f"[ara0] {json.dumps(res)}")
     finally:
         db.disconnect()

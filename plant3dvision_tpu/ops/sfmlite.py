@@ -525,7 +525,17 @@ def iterative_refine(gray, kp_masks, theta0, poses, width, height, *,
                                     gate_px=bgates, free=free)
         except ValueError:          # no multi-view tracks at this gating
             continue
-        if not np.isfinite(cand["rms_px"]) or cand["theta_raw"][0] <= 0:
+        if not np.isfinite(cand["rms_px"]):
+            continue
+        # per-start focal trust region: on near-planar feature sets
+        # (e.g. a small rosette: arabidopsis000's masks are ~3.5k px on
+        # a 518k-px frame) the GN can spiral f -> 0, pulling every
+        # projection toward the principal point and "fitting" the few
+        # near-center observations at sub-pixel rms. Such a collapse
+        # must not be crowned winner just because its inlier count
+        # beats other collapsed starts.
+        ratio = float(cand["theta_raw"][0]) / max(float(th[0]), 1e-6)
+        if not (0.4 <= ratio <= 2.5):
             continue
         if best is None or cand["n_inliers"] > best[1]["n_inliers"]:
             best = (float(m), cand)
@@ -544,9 +554,13 @@ def iterative_refine(gray, kp_masks, theta0, poses, width, height, *,
                                 k10=k1, _cache=_cache)
         if len(matches["va"]) < min_matches:
             break
-        ba = refine_turntable(matches, poses, theta, width, height,
-                              gate_px=bgates, jitter0=jitter, k10=k1,
-                              free=free)
+        cand = refine_turntable(matches, poses, theta, width, height,
+                                gate_px=bgates, jitter0=jitter, k10=k1,
+                                free=free)
+        ratio = float(cand["theta_raw"][0]) / max(float(theta[0]), 1e-6)
+        if not np.isfinite(cand["rms_px"]) or not (0.4 <= ratio <= 2.5):
+            break                   # keep the previous round's solution
+        ba = cand
         theta = ba["theta_raw"]
         jitter = (ba["dpan_view"], ba["dtilt_view"], ba["droll_view"])
         k1 = ba["k1"]

@@ -195,6 +195,13 @@ class TurntableCalibration(RomiTask):
     mask_threshold = Parameter(default=0.1)
     bounding_box = Parameter(default=None)
     f_init = Parameter(default=1400.0)
+    #: CEM focal search bounds (px). The floor must sit BELOW any
+    #: plausible rig: the virtual scanner's default optics are
+    #: focal 29 mm on a 70 mm sensor (virtual_plant scan.toml:53 +
+    #: its exact camera metadata fx=371.2 at 896 px), i.e. fx ~= 398 px
+    #: at arabidopsis000's 960 px width — the old 400 px floor CLIPPED
+    #: the true focal of a shipped reference fixture.
+    f_bounds = Parameter(default=[250.0, 4000.0])
     downsample = Parameter(default=8)
     voxel_mm = Parameter(default=4.0)
     cem_pop = Parameter(default=48)
@@ -352,6 +359,7 @@ class TurntableCalibration(RomiTask):
 
         res = selfcal.calibrate_turntable(
             masks, poses, bbox, f_init=float(self.f_init),
+            f_bounds=tuple(float(b) for b in self.f_bounds),
             downsample=int(self.downsample), voxel_mm=float(self.voxel_mm),
             pop=int(self.cem_pop), iters=int(self.cem_iters),
             rounds=int(self.cem_rounds), seed=int(self.seed))
@@ -388,8 +396,11 @@ class TurntableCalibration(RomiTask):
                 ba = self._ba_focal_guard(
                     ba, res["theta_raw"][0] * ba.get("f_start", 1.0))
             else:
-                logger.warning("feature BA skipped (too few matches); "
-                               "keeping silhouette cameras")
+                logger.warning(
+                    "feature BA yielded no acceptable solution (too few "
+                    "matches, or every focal start left its trust region "
+                    "— near-planar feature sets can spiral f toward 0); "
+                    "keeping silhouette cameras")
 
         theta_raw = ba["theta_raw"] if ba is not None else res["theta_raw"]
         jitter = ((ba["dpan_view"], ba["dtilt_view"],

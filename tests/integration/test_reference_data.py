@@ -587,3 +587,82 @@ def test_segnet_real_checkpoint_quality():
         fruit_frac = (pred[i] == 2).sum() / max(plant.sum(), 1)
         # pseudo-label fruit px fraction is 0.643; measured 0.65-0.74
         assert 0.35 < fruit_frac < 0.9, fruit_frac
+
+
+def test_arabidopsis000_colmap_free_pipeline():
+    """COLMAP-free geometric route on the reference's THIRD shipped
+    fixture, arabidopsis000 (72 virtual 960x540 views over a Voronoi
+    floor) — the dataset the reference uses only to smoke the external
+    COLMAP binary (reference tests/unit/test_colmap.py:16-46).
+
+    It ships no trait ground truth, so the oracle is the reference's own
+    structural one (len(angles) > 10, reference
+    tests/integration/test_anglesandinternodes.py:38-39) plus
+    calibration sanity. Exercises paths no other fixture hits: the
+    Blender-Euler radians pose dialect (tilt = rx - 90), the CEM hull
+    crop on a workspace ~30x the plant volume, and the feature-BA focal
+    trust region (this fixture's near-planar rosette makes the BA's f
+    gauge collapse; the silhouette stage + hull polish must carry the
+    pipeline alone). True focal is ~398 px: the virtual scanner's
+    default optics are focal 29 mm / 70 mm sensor (virtual_plant
+    scan.toml:53 with exact fx=371.2 at 896 px) at this fixture's
+    960 px width; CEM recovers 366-401 across budgets."""
+    if not fixtures.has_reference_testdata("arabidopsis000"):
+        pytest.skip("reference testdata not available")
+
+    cfg = {
+        "TurntableCalibration": {
+            "upstream_task": "ImagesFilesetExists",
+            # no channel metadata on this fixture -> match-all query
+            "query": {}, "mask_type": "excess_green", "mask_threshold": 0.1,
+            "f_init": 700.0, "downsample": 4, "voxel_mm": 8.0,
+            # CPU test budget (16 angles vs full budget's 15;
+            # exp_ara0.py --budget test, measured 247 s)
+            "cem_pop": 32, "cem_iters": 8, "feature_downsample": 2,
+            "strides": [1, 2, 4, 7], "polish_rounds": 2},
+        "Masks": {"upstream_task": "ImagesFilesetExists",
+                  "upstream_pose": "TurntableCalibration",
+                  "type": "excess_green",
+                  "threshold": 0.15, "dilation": 2, "binarize": True},
+        "Voxels": {"upstream_mask": "Masks",
+                   "upstream_colmap": "TurntableCalibration",
+                   "camera_metadata": "colmap_camera",
+                   "voxel_size": 1.0, "type": "carving",
+                   "kill_tolerance": 3},
+        "PointCloud": {"upstream_task": "Voxels", "level_set_value": 2.0},
+        "CurveSkeleton": {"upstream_task": "PointCloud", "bin_size": 6.0,
+                          "k": 10, "stem_axis_inverted": False},
+        "RefineSkeleton": {"upstream_task": "CurveSkeleton",
+                           "upstream_pcd": "PointCloud",
+                           "alpha": 5.0, "beta": 5.0, "knn_mst": True},
+        "TreeGraph": {"upstream_task": "RefineSkeleton", "z_axis": 2,
+                      "stem_axis_inverted": False},
+        "AnglesAndInternodes": {"upstream_task": "TreeGraph",
+                                "method": "legacy", "organ_type": "fruit",
+                                "node_sampling_dist": 14.0,
+                                "min_fruit_size": 10.0},
+    }
+    with TemporaryDB() as db:
+        fixtures.load_reference_scan(db, "arabidopsis000")
+        ctx = RunContext(db, "arabidopsis000", cfg)
+        report = run_task(ctx, "AnglesAndInternodes", report=False)
+        scan = db.get_scan("arabidopsis000")
+
+        cal_fs = scan.get_fileset(
+            _fileset_of(scan, report, "TurntableCalibration"))
+        cal = json.loads(cal_fs.get_file("calibration").read_raw())
+        # CEM must land near the generator's true focal (~398 px) now
+        # that the search floor (250) sits below it — the old 400 px
+        # floor clipped it
+        assert 300.0 < cal["theta"]["f"] < 520.0, cal["theta"]
+        assert cal["coherence"] > 0.55, cal["coherence"]
+        # Euler-dialect tilt decoded: global tilt correction stays small
+        # (pre-fix runs needed dtilt ~= -93 to undo the rx convention)
+        assert abs(cal["theta"]["dtilt"]) < 10.0, cal["theta"]
+
+        out_fs = scan.get_fileset(
+            _fileset_of(scan, report, "AnglesAndInternodes"))
+        out = json.loads(
+            out_fs.get_file("AnglesAndInternodes").read_raw())
+        assert len(out["angles"]) > 10, len(out["angles"])
+        assert all(0 < i < 60 for i in out["internodes"]), out["internodes"]
