@@ -629,6 +629,28 @@ def calibrate_turntable(masks, poses, bbox, *, f_init=1400.0,
                 pad = np.maximum(0.2 * (hi - lo), 8.0 * vs)
                 lo = np.maximum(lo - pad, [wx0, wy0, wz0])
                 hi = np.minimum(hi + pad, [wx1, wy1, wz1])
+                # quantize the next round's grid shape to multiples of
+                # 16 voxels per axis: the crop is data-dependent, and
+                # every distinct shape is a fresh (remote, ~minutes)
+                # compile of _score_batch — quantized shapes make the
+                # persistent compile cache actually hit across runs
+                vs_next = voxel_mm / (2 ** (rnd + 1))
+                n = np.floor((hi - lo) / vs_next).astype(int) + 1
+                n16 = np.ceil(n / 16).astype(int) * 16
+                # extent lands mid-voxel so int((x1-x0)/vs)+1 == n16
+                # regardless of float rounding direction
+                span = (n16 - 0.5) * vs_next
+                wlo = np.array([wx0, wy0, wz0])
+                whi = np.array([wx1, wy1, wz1])
+                fits = span <= (whi - wlo)
+                hi = np.where(fits, lo + span, hi)
+                over = np.maximum(hi - whi, 0.0)
+                lo, hi = lo - over, hi - over    # shift, keep the shape
+                # axes where the quantized span exceeds the workspace
+                # fall back to the FULL workspace extent — that shape is
+                # data-independent, hence already cache-stable
+                lo = np.where(fits, lo, wlo)
+                hi = np.where(fits, hi, whi)
                 x0, y0, z0 = (float(v) for v in lo)
                 x1, y1, z1 = (float(v) for v in hi)
                 history.append({
