@@ -152,11 +152,111 @@ def read_points3d_binary(path):
     return points
 
 
-def read_model(sparse_dir):
+# -- text-model readers (role of reference thirdparty/read_model.py:82-258;
+#    COLMAP `model_converter --output_type TXT` and older exports) ----------
+
+def _data_lines(path):
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line and not line.startswith("#"):
+                yield line
+
+
+def read_cameras_text(path):
+    """CAMERA_ID MODEL WIDTH HEIGHT PARAMS[] — one camera per line."""
+    cameras = {}
+    for line in _data_lines(path):
+        toks = line.split()
+        cam_id, model = int(toks[0]), toks[1]
+        width, height = int(toks[2]), int(toks[3])
+        params = np.array([float(t) for t in toks[4:]])
+        cameras[cam_id] = Camera(cam_id, model, width, height, params)
+    return cameras
+
+
+def read_images_text(path):
+    """Two lines per image: `IMAGE_ID QW QX QY QZ TX TY TZ CAMERA_ID NAME`
+    then the 2D observations `X Y POINT3D_ID ...` (-1 = untracked)."""
+    images = {}
+    lines = _data_lines(path)
+    for header in lines:
+        toks = header.split()
+        image_id = int(toks[0])
+        qvec = np.array([float(t) for t in toks[1:5]])
+        tvec = np.array([float(t) for t in toks[5:8]])
+        camera_id = int(toks[8])
+        name = toks[9] if len(toks) > 9 else ""
+        obs = next(lines, "").split()
+        xys = (np.array(obs, dtype=float).reshape(-1, 3)[:, :2]
+               if obs else np.zeros((0, 2)))
+        pids = (np.array(obs[2::3], dtype=np.int64)
+                if obs else np.zeros(0, np.int64))
+        images[image_id] = Image(image_id, qvec, tvec, camera_id, name,
+                                 xys, pids)
+    return images
+
+
+def read_points3d_text(path):
+    """POINT3D_ID X Y Z R G B ERROR (IMAGE_ID POINT2D_IDX)* per line."""
+    points = {}
+    for line in _data_lines(path):
+        toks = line.split()
+        pid = int(toks[0])
+        xyz = np.array([float(t) for t in toks[1:4]])
+        rgb = np.array([int(t) for t in toks[4:7]], dtype=np.uint8)
+        error = float(toks[7])
+        track = np.array(toks[8:], dtype=np.int32).reshape(-1, 2)
+        points[pid] = Point3D(pid, xyz, rgb, error,
+                              track[:, 0].copy(), track[:, 1].copy())
+    return points
+
+
+def write_cameras_text(cameras, path):
+    with open(path, "w") as f:
+        f.write("# CAMERA_ID, MODEL, WIDTH, HEIGHT, PARAMS[]\n")
+        for cam in cameras.values():
+            params = " ".join(repr(float(p)) for p in cam.params)
+            f.write(f"{cam.id} {cam.model} {cam.width} {cam.height} {params}\n")
+
+
+def write_images_text(images, path):
+    with open(path, "w") as f:
+        f.write("# IMAGE_ID, QW, QX, QY, QZ, TX, TY, TZ, CAMERA_ID, NAME\n"
+                "# POINTS2D[] as (X, Y, POINT3D_ID)\n")
+        for im in images.values():
+            pose = " ".join(repr(float(v)) for v in (*im.qvec, *im.tvec))
+            f.write(f"{im.id} {pose} {im.camera_id} {im.name}\n")
+            obs = " ".join(f"{repr(float(x))} {repr(float(y))} {int(pid)}"
+                           for (x, y), pid in zip(im.xys, im.point3D_ids))
+            f.write(obs + "\n")
+
+
+def write_points3d_text(points, path):
+    with open(path, "w") as f:
+        f.write("# POINT3D_ID, X, Y, Z, R, G, B, ERROR, "
+                "TRACK[] as (IMAGE_ID, POINT2D_IDX)\n")
+        for pt in points.values():
+            xyz = " ".join(repr(float(v)) for v in pt.xyz)
+            rgb = " ".join(str(int(v)) for v in pt.rgb)
+            track = " ".join(f"{int(i)} {int(p)}"
+                             for i, p in zip(pt.image_ids, pt.point2D_idxs))
+            f.write(f"{pt.id} {xyz} {rgb} {repr(float(pt.error))} {track}\n")
+
+
+def read_model(sparse_dir, ext=None):
+    """Read a COLMAP sparse model; auto-detects binary vs text when `ext`
+    is None (reference thirdparty/read_model.py:260 takes it explicitly)."""
     sparse_dir = Path(sparse_dir)
-    return (read_cameras_binary(sparse_dir / "cameras.bin"),
-            read_images_binary(sparse_dir / "images.bin"),
-            read_points3d_binary(sparse_dir / "points3D.bin"))
+    if ext is None:
+        ext = ".bin" if (sparse_dir / "cameras.bin").exists() else ".txt"
+    if ext == ".bin":
+        return (read_cameras_binary(sparse_dir / "cameras.bin"),
+                read_images_binary(sparse_dir / "images.bin"),
+                read_points3d_binary(sparse_dir / "points3D.bin"))
+    return (read_cameras_text(sparse_dir / "cameras.txt"),
+            read_images_text(sparse_dir / "images.txt"),
+            read_points3d_text(sparse_dir / "points3D.txt"))
 
 
 # -- writers ----------------------------------------------------------------

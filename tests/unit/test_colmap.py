@@ -42,6 +42,48 @@ def test_model_binary_roundtrip(tmp_path):
     assert p2[7].image_ids.tolist() == [1]
 
 
+def test_model_text_roundtrip(tmp_path):
+    """Text model (model_converter TXT output; reference
+    thirdparty/read_model.py:82-258) round-trips bit-exact and read_model
+    auto-detects the format when cameras.bin is absent."""
+    cameras = {1: rm.Camera(1, "SIMPLE_RADIAL", 960, 540,
+                            np.array([398.25, 480.0, 270.0, -0.017]))}
+    q = rm.rotmat2qvec(rm.qvec2rotmat([0.9, 0.1, -0.2, 0.4] /
+                                      np.linalg.norm([0.9, 0.1, -0.2, 0.4])))
+    images = {
+        3: rm.Image(3, q, np.array([-0.5, 1.25, 7.0]), 1, "00003_rgb.jpg",
+                    np.array([[1.5, 2.25], [3.0, 4.125]]),
+                    np.array([7, -1], dtype=np.int64)),
+        4: rm.Image(4, q, np.zeros(3), 1, "00004_rgb.jpg",
+                    np.zeros((0, 2)), np.zeros(0, np.int64)),
+    }
+    points = {7: rm.Point3D(7, np.array([1.0, -2.5, 3.75]),
+                            np.array([10, 20, 30], dtype=np.uint8), 0.5,
+                            np.array([3], dtype=np.int32),
+                            np.array([0], dtype=np.int32))}
+    rm.write_cameras_text(cameras, tmp_path / "cameras.txt")
+    rm.write_images_text(images, tmp_path / "images.txt")
+    rm.write_points3d_text(points, tmp_path / "points3D.txt")
+
+    c2, i2, p2 = rm.read_model(tmp_path)  # auto-detects .txt
+    assert c2[1].model == "SIMPLE_RADIAL"
+    np.testing.assert_array_equal(c2[1].params, cameras[1].params)
+    np.testing.assert_array_equal(i2[3].qvec, q)
+    np.testing.assert_array_equal(i2[3].tvec, images[3].tvec)
+    assert i2[3].name == "00003_rgb.jpg"
+    np.testing.assert_array_equal(i2[3].xys, images[3].xys)
+    np.testing.assert_array_equal(i2[3].point3D_ids, images[3].point3D_ids)
+    assert i2[4].xys.shape == (0, 2) and len(i2[4].point3D_ids) == 0
+    np.testing.assert_array_equal(p2[7].xyz, points[7].xyz)
+    np.testing.assert_array_equal(p2[7].rgb, points[7].rgb)
+    assert p2[7].error == 0.5
+    assert p2[7].image_ids.tolist() == [3]
+
+    # explicit ext selection matches the reference's read_model(path, ext)
+    c3, i3, p3 = rm.read_model(tmp_path, ext=".txt")
+    assert c3.keys() == c2.keys() and i3.keys() == i2.keys()
+
+
 def test_qvec_rotmat_roundtrip(rng):
     for _ in range(10):
         v = rng.standard_normal(3)
