@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 from pathlib import Path
 
 MARKER_FILE = "romidb"
@@ -145,6 +146,11 @@ class Scan:
         self.db = db
         self.id = scan_id
         self.filesets: dict[str, Fileset] = {}
+        # guards manifest/metadata read-modify-writes and fileset-dict
+        # mutation vs store() iteration — parallel task workers
+        # (runtime.runner run_task(workers=N)) share one Scan object
+        self._lock = threading.RLock()
+        self._defer_depth = 0
         self._load()
 
     def path(self) -> Path:
@@ -167,37 +173,42 @@ class Scan:
     def deferred_store(self):
         """Context manager batching manifest writes: inside the block,
         store() is a no-op; one store happens on exit. Makes concurrent
-        File.write_raw calls safe (used by FileByFileTask's thread pool)."""
+        File.write_raw calls safe (used by FileByFileTask's thread pool).
+        Reentrant — concurrent tasks (parallel workers) may each open a
+        deferral; the store lands when the last one exits."""
         import contextlib
 
         @contextlib.contextmanager
         def _ctx():
-            self._defer_store = True
+            with self._lock:
+                self._defer_depth += 1
             try:
                 yield self
             finally:
-                self._defer_store = False
+                with self._lock:
+                    self._defer_depth -= 1
                 self.store()
 
         return _ctx()
 
     def store(self):
-        if getattr(self, "_defer_store", False):
-            return
-        manifest = {
-            "filesets": [
-                {
-                    "id": fs.id,
-                    "files": [
-                        {"id": f.id, "file": f.filename}
-                        for f in fs.files.values()
-                        if f.filename is not None
-                    ],
-                }
-                for fs in self.filesets.values()
-            ]
-        }
-        _write_json(self._manifest_path(), manifest)
+        with self._lock:
+            if self._defer_depth > 0:
+                return
+            manifest = {
+                "filesets": [
+                    {
+                        "id": fs.id,
+                        "files": [
+                            {"id": f.id, "file": f.filename}
+                            for f in fs.files.values()
+                            if f.filename is not None
+                        ],
+                    }
+                    for fs in self.filesets.values()
+                ]
+            }
+            _write_json(self._manifest_path(), manifest)
 
     # -- metadata ------------------------------------------------------
     def get_metadata(self, key=None, default=None):
@@ -207,12 +218,13 @@ class Scan:
         return md.get(key, default)
 
     def set_metadata(self, key, value=None):
-        md = _read_json(self._metadata_path(), {})
-        if isinstance(key, dict) and value is None:
-            md.update(key)
-        else:
-            md[key] = value
-        _write_json(self._metadata_path(), md)
+        with self._lock:
+            md = _read_json(self._metadata_path(), {})
+            if isinstance(key, dict) and value is None:
+                md.update(key)
+            else:
+                md[key] = value
+            _write_json(self._metadata_path(), md)
 
     def get_measures(self, key=None):
         """Manual measurements shipped with the scan (measures.json) —
@@ -237,16 +249,18 @@ class Scan:
         return None
 
     def create_fileset(self, fs_id):
-        if fs_id in self.filesets:
-            raise DBError(f"Fileset already exists: {fs_id}")
-        fs = Fileset(self, fs_id)
-        fs.path().mkdir(parents=True, exist_ok=True)
-        self.filesets[fs_id] = fs
-        self.store()
-        return fs
+        with self._lock:
+            if fs_id in self.filesets:
+                raise DBError(f"Fileset already exists: {fs_id}")
+            fs = Fileset(self, fs_id)
+            fs.path().mkdir(parents=True, exist_ok=True)
+            self.filesets[fs_id] = fs
+            self.store()
+            return fs
 
     def delete_fileset(self, fs_id):
-        fs = self.filesets.pop(fs_id, None)
+        with self._lock:
+            fs = self.filesets.pop(fs_id, None)
         if fs is None:
             return
         # cancel in-flight async artifact writes + drop device-cache entries
@@ -288,12 +302,13 @@ class Fileset:
         return md.get(key, default)
 
     def set_metadata(self, key, value=None):
-        md = _read_json(self._metadata_path(), {})
-        if isinstance(key, dict) and value is None:
-            md.update(key)
-        else:
-            md[key] = value
-        _write_json(self._metadata_path(), md)
+        with self.scan._lock:
+            md = _read_json(self._metadata_path(), {})
+            if isinstance(key, dict) and value is None:
+                md.update(key)
+            else:
+                md[key] = value
+            _write_json(self._metadata_path(), md)
 
     # -- files ---------------------------------------------------------
     def list_files(self):
@@ -313,12 +328,14 @@ class Fileset:
         return None
 
     def create_file(self, file_id):
-        f = File(self, file_id, None)
-        self.files[file_id] = f
-        return f
+        with self.scan._lock:
+            f = File(self, file_id, None)
+            self.files[file_id] = f
+            return f
 
     def delete_file(self, file_id):
-        f = self.files.pop(file_id, None)
+        with self.scan._lock:
+            f = self.files.pop(file_id, None)
         if f is None:
             return
         if f.filename and (self.path() / f.filename).exists():
@@ -374,12 +391,13 @@ class File:
         return md.get(key, default)
 
     def set_metadata(self, key, value=None):
-        md = _read_json(self._metadata_path(), {})
-        if isinstance(key, dict) and value is None:
-            md.update(key)
-        else:
-            md[key] = value
-        _write_json(self._metadata_path(), md)
+        with self.scan._lock:
+            md = _read_json(self._metadata_path(), {})
+            if isinstance(key, dict) and value is None:
+                md.update(key)
+            else:
+                md[key] = value
+            _write_json(self._metadata_path(), md)
 
     # -- payload -------------------------------------------------------
     def write_raw(self, data: bytes, ext: str):

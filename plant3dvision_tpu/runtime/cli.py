@@ -42,6 +42,9 @@ def main(argv=None):
                     metavar="Task.key=value",
                     help="Override a single task parameter on top of the "
                          "config (repeatable), e.g. Voxels.voxel_size=0.5")
+    ap.add_argument("--workers", type=int, default=1,
+                    help="Run independent tasks of the DAG concurrently "
+                         "(role of luigi --workers in the reference stack)")
     ap.add_argument("--log-level", default="INFO")
     args = ap.parse_args(argv)
 
@@ -86,7 +89,7 @@ def main(argv=None):
         except Exception as e:
             logger.warning(f"could not back up pipeline.toml: {e}")
     try:
-        run_task(ctx, args.task)
+        run_task(ctx, args.task, workers=max(1, args.workers))
     finally:
         ctx.db.disconnect()
     return 0

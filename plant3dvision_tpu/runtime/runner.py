@@ -56,10 +56,13 @@ class DBRunner:
     by every scan's RunContext.
     """
 
-    def __init__(self, db, tasks, config=None):
+    def __init__(self, db, tasks, config=None, workers=1):
         self.db = db
         self.tasks = list(tasks)
         self.config = config or {}
+        #: scans processed concurrently by run() (luigi --workers role);
+        #: scans are independent directories, so this is safe parallelism
+        self.workers = int(workers)
 
     def run_scan(self, scan_id: str) -> dict:
         """Run the task list on one scan; returns {task: report} merged."""
@@ -73,15 +76,32 @@ class DBRunner:
 
     def run(self) -> dict:
         """Run the task list on every scan in the DB: {scan_id: report}."""
+        scan_ids = sorted(self.db.list_scans())
+        if self.workers > 1 and len(scan_ids) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=self.workers,
+                                    thread_name_prefix="scan-worker") as ex:
+                futs = {sid: ex.submit(self.run_scan, sid)
+                        for sid in scan_ids}
+                return {sid: fut.result() for sid, fut in futs.items()}
         reports = {}
-        for scan_id in sorted(self.db.list_scans()):
+        for scan_id in scan_ids:
             logger.info(f"DBRunner: scan {scan_id}")
             reports[scan_id] = self.run_scan(scan_id)
         return reports
 
 
-def run_task(ctx, task_name_or_cls, report=True) -> dict:
+def run_task(ctx, task_name_or_cls, report=True, workers=1) -> dict:
     """Resolve and run the dependency closure of a task bottom-up.
+
+    ``workers`` > 1 executes independent tasks of the DAG concurrently in
+    a thread pool (role of luigi's ``--workers``, which the reference
+    inherits via romitask — README.md:287-288). Dependency order, retry,
+    partial-output destruction and report semantics are identical to the
+    serial path; a failure stops new submissions, lets in-flight tasks
+    finish, then raises. Threads suit this workload: tasks are IO-bound
+    (codec threads release the GIL) or dispatch device programs.
 
     Returns a report dict: {task_name: {"status", "seconds", "fileset"}}.
     """
@@ -91,7 +111,10 @@ def run_task(ctx, task_name_or_cls, report=True) -> dict:
 
     results = {}
     try:
-        _run_order(order, results)
+        if int(workers) > 1:
+            _run_order_parallel(order, results, int(workers))
+        else:
+            _run_order(order, results)
     except BaseException:
         # the pipeline failed mid-way: still land any async artifact
         # writes of the tasks that DID succeed (best effort — the
@@ -135,57 +158,120 @@ def _flush_artifacts(results) -> None:
     logger.info(f"ArtifactFlush: {results['ArtifactFlush']['seconds']:.2f}s")
 
 
+def _execute_one(task):
+    """Run one task with the retry/partial-output protocol.
+
+    Returns (report_entry, n_tried, err) — err is None on success/skip;
+    raising is left to the caller so the parallel scheduler can drain
+    in-flight tasks before propagating."""
+    name = task.get_task_family()
+    if task.complete():
+        logger.info(f"{name}: already complete, skipping")
+        return ({"status": "skipped", "seconds": 0.0,
+                 "fileset": getattr(task.output(), "fileset_id", None)},
+                0, None)
+    # a stale (crashed-run) partial output would shadow this run's
+    # writes — clear it before starting
+    out = task.output()
+    if getattr(out, "fileset_id", None) is not None and out.exists():
+        logger.warning(f"{name}: clearing unfinalized partial output "
+                       f"{out.fileset_id}")
+        _destroy_output(task)
+    t0 = time.monotonic()
+    attempts = 1 + getattr(task, "retry_count", 0)
+    last_err = None
+    status = "failed"
+    n_tried = 0
+    for attempt in range(attempts):
+        n_tried = attempt + 1
+        try:
+            if attempt:
+                logger.warning(f"{name}: retry {attempt}/{attempts - 1}")
+            task.run()
+            if hasattr(task, "finalize"):
+                task.finalize()
+            status = "done"
+            last_err = None
+            break
+        except RetryableTaskError as e:
+            last_err = e
+            _destroy_output(task)
+            continue
+        except Exception as e:
+            last_err = e
+            _destroy_output(task)
+            break
+    dt = time.monotonic() - t0
+    out = task.output()
+    entry = {
+        "status": status,
+        "seconds": round(dt, 3),
+        "fileset": getattr(out, "fileset_id", None),
+    }
+    if status == "done":
+        logger.info(f"{name}: done in {dt:.2f}s")
+    return entry, n_tried, last_err
+
+
 def _run_order(order, results) -> None:
     for task in order:
         name = task.get_task_family()
-        if task.complete():
-            logger.info(f"{name}: already complete, skipping")
-            results[name] = {
-                "status": "skipped", "seconds": 0.0,
-                "fileset": getattr(task.output(), "fileset_id", None),
-            }
-            continue
-        # a stale (crashed-run) partial output would shadow this run's
-        # writes — clear it before starting
-        out = task.output()
-        if getattr(out, "fileset_id", None) is not None and out.exists():
-            logger.warning(f"{name}: clearing unfinalized partial output "
-                           f"{out.fileset_id}")
-            _destroy_output(task)
-        t0 = time.monotonic()
-        attempts = 1 + getattr(task, "retry_count", 0)
-        last_err = None
-        status = "failed"
-        n_tried = 0
-        for attempt in range(attempts):
-            n_tried = attempt + 1
-            try:
-                if attempt:
-                    logger.warning(f"{name}: retry {attempt}/{attempts - 1}")
-                task.run()
-                if hasattr(task, "finalize"):
-                    task.finalize()
-                status = "done"
-                last_err = None
-                break
-            except RetryableTaskError as e:
-                last_err = e
-                _destroy_output(task)
-                continue
-            except Exception as e:
-                last_err = e
-                _destroy_output(task)
-                break
-        dt = time.monotonic() - t0
-        out = task.output()
-        results[name] = {
-            "status": status,
-            "seconds": round(dt, 3),
-            "fileset": getattr(out, "fileset_id", None),
-        }
-        if last_err is not None:
+        entry, n_tried, err = _execute_one(task)
+        results[name] = entry
+        if err is not None:
             raise TaskFailure(
-                f"Task {name} failed after {n_tried} attempt(s)") from last_err
-        if status != "done":
+                f"Task {name} failed after {n_tried} attempt(s)") from err
+        if entry["status"] not in ("done", "skipped"):
             raise TaskFailure(f"Task {name} failed")
-        logger.info(f"{name}: done in {dt:.2f}s")
+
+
+def _task_deps(task) -> set:
+    req = task.requires()
+    deps = list(req.values()) if isinstance(req, dict) else (
+        list(req) if isinstance(req, (list, tuple)) else [req])
+    return {d.get_task_family() for d in deps if d is not None}
+
+
+def _run_order_parallel(order, results, workers: int) -> None:
+    """Ready-set scheduler: submit every task whose dependencies are done,
+    up to `workers` threads. Exactly the serial semantics otherwise."""
+    from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+
+    tasks = {t.get_task_family(): t for t in order}
+    deps = {n: _task_deps(t) & tasks.keys() for n, t in tasks.items()}
+    pending = set(tasks)
+    done: set = set()
+    failure = None  # (name, n_tried, err)
+
+    with ThreadPoolExecutor(max_workers=workers,
+                            thread_name_prefix="task-worker") as ex:
+        futures = {}
+        while pending or futures:
+            if failure is None:
+                for n in [n for n in sorted(pending) if deps[n] <= done]:
+                    pending.discard(n)
+                    futures[ex.submit(_execute_one, tasks[n])] = n
+            if not futures:
+                break  # failure drained, or nothing can become ready
+            finished, _ = wait(list(futures), return_when=FIRST_COMPLETED)
+            for fut in finished:
+                n = futures.pop(fut)
+                entry, n_tried, err = fut.result()
+                results[n] = entry
+                if err is not None or entry["status"] not in ("done",
+                                                              "skipped"):
+                    if failure is None:
+                        failure = (n, n_tried, err)
+                else:
+                    done.add(n)
+
+    if failure is not None:
+        n, n_tried, err = failure
+        if err is not None:
+            raise TaskFailure(
+                f"Task {n} failed after {n_tried} attempt(s)") from err
+        raise TaskFailure(f"Task {n} failed")
+    if pending:
+        raise TaskFailure(
+            "Dependency cycle or unreachable tasks: " + ", ".join(
+                sorted(pending)))

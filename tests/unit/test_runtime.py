@@ -211,6 +211,96 @@ def test_db_runner_over_scans(temp_db):
     assert DBRunner(temp_db, [], {}).run() == {"scan_a": {}, "scan_b": {}}
 
 
+_SLEEP_TIMES = {}
+
+
+class _TimedTask(RomiTask):
+    """Sleeps, records its (start, end) interval, writes one output file."""
+    dur = 0.3
+
+    def requires(self):
+        return []
+
+    def run(self):
+        import time as _time
+        t0 = _time.monotonic()
+        _time.sleep(self.dur)
+        self.output_file("out").write_raw(b"ok", "txt")
+        _SLEEP_TIMES[self.get_task_family()] = (t0, _time.monotonic())
+
+
+class SleepBase(_TimedTask):
+    pass
+
+
+class SleepA(_TimedTask):
+    def requires(self):
+        return [self.ctx.get_task(SleepBase)]
+
+
+class SleepB(_TimedTask):
+    def requires(self):
+        return [self.ctx.get_task(SleepBase)]
+
+
+class SleepRoot(_TimedTask):
+    def requires(self):
+        return [self.ctx.get_task(SleepA), self.ctx.get_task(SleepB)]
+
+
+def test_parallel_workers_diamond(ctx):
+    """run_task(workers=2) on a diamond DAG (Base -> {A, B} -> Root):
+    dependency order holds, the independent branches overlap (role of
+    luigi --workers, reference README.md:287-288)."""
+    _SLEEP_TIMES.clear()
+    report = run_task(ctx, SleepRoot, report=False, workers=2)
+    assert all(report[n]["status"] == "done"
+               for n in ("SleepBase", "SleepA", "SleepB", "SleepRoot"))
+    base, a, b, root = (_SLEEP_TIMES[n] for n in
+                        ("SleepBase", "SleepA", "SleepB", "SleepRoot"))
+    # dependency order respected
+    assert base[1] <= a[0] and base[1] <= b[0]
+    assert max(a[1], b[1]) <= root[0]
+    # the two branches actually ran concurrently
+    assert a[0] < b[1] and b[0] < a[1], (_SLEEP_TIMES,)
+
+
+class FailsFast(RomiTask):
+    def requires(self):
+        return []
+
+    def run(self):
+        raise RuntimeError("boom")
+
+
+class NeverRuns(RomiTask):
+    def requires(self):
+        return [self.ctx.get_task(FailsFast)]
+
+    def run(self):  # pragma: no cover - must not execute
+        raise AssertionError("dependent of a failed task must not run")
+
+
+def test_parallel_failure_stops_dependents(ctx):
+    with pytest.raises(TaskFailure):
+        run_task(ctx, NeverRuns, report=False, workers=2)
+
+
+def test_db_runner_parallel_scans(temp_db):
+    """DBRunner(workers=2) processes independent scans concurrently."""
+    from plant3dvision_tpu.runtime.runner import DBRunner
+
+    for sid in ("pscan_a", "pscan_b", "pscan_c"):
+        scan = temp_db.create_scan(sid)
+        images = scan.create_fileset("images")
+        images.create_file("00000_rgb").write_raw(b"fake-image", "jpg")
+
+    reports = DBRunner(temp_db, ["TouchFileTask"], {}, workers=2).run()
+    assert set(reports) == {"pscan_a", "pscan_b", "pscan_c"}
+    assert all(r["TouchFileTask"]["status"] == "done"
+               for r in reports.values())
+
+
 def test_dump_toml_roundtrip():
     from plant3dvision_tpu.runtime.config import dump_toml
     import tomllib
