@@ -286,6 +286,42 @@ def test_parallel_failure_stops_dependents(ctx):
         run_task(ctx, NeverRuns, report=False, workers=2)
 
 
+def test_parallel_workers_random_dag(ctx):
+    """Stress the ready-set scheduler: a randomized 18-node layered DAG
+    executed with 4 workers must respect every dependency edge."""
+    import random
+
+    rng = random.Random(7)
+    layers = [3, 5, 5, 4, 1]
+    classes, prev_layer = [], []
+    for li, width in enumerate(layers):
+        layer = []
+        for ni in range(width):
+            deps = (tuple(rng.sample(prev_layer, rng.randint(1, len(prev_layer))))
+                    if prev_layer else ())
+
+            def _requires(self, _deps=deps):
+                return [self.ctx.get_task(d) for d in _deps]
+
+            cls = type(f"RandDag_L{li}N{ni}", (_TimedTask,),
+                       {"dur": 0.01, "requires": _requires})
+            layer.append(cls)
+            classes.append((cls, deps))
+        prev_layer = layer
+
+    _SLEEP_TIMES.clear()
+    report = run_task(ctx, classes[-1][0], report=False, workers=4)
+    assert all(v["status"] == "done" for v in report.values())
+    assert len(_SLEEP_TIMES) >= layers[-1]  # root + its closure executed
+    for cls, deps in classes:
+        if cls.__name__ not in _SLEEP_TIMES:
+            continue  # not in the root's dependency closure
+        t0 = _SLEEP_TIMES[cls.__name__][0]
+        for d in deps:
+            assert _SLEEP_TIMES[d.__name__][1] <= t0, \
+                f"{d.__name__} must finish before {cls.__name__} starts"
+
+
 def test_db_runner_parallel_scans(temp_db):
     """DBRunner(workers=2) processes independent scans concurrently."""
     from plant3dvision_tpu.runtime.runner import DBRunner
