@@ -158,6 +158,30 @@ def _flush_artifacts(results) -> None:
     logger.info(f"ArtifactFlush: {results['ArtifactFlush']['seconds']:.2f}s")
 
 
+def _device_mem_mb():
+    """Live device-memory footprint in MB, or None.
+
+    Only consults an ALREADY-INITIALIZED jax backend: task runs that never
+    touch the device must not pay (or trigger) backend init — on the axon
+    relay that is seconds of remote setup. (Relay-tunneled devices report
+    memory_stats() = None; directly-attached PJRT TPUs/CPUs populate
+    bytes_in_use.)"""
+    import sys
+    if "jax" not in sys.modules:
+        return None
+    try:
+        from jax._src import xla_bridge
+        if not xla_bridge._backends:
+            return None
+        import jax
+        stats = jax.local_devices()[0].memory_stats() or {}
+        if "bytes_in_use" in stats:
+            return round(stats["bytes_in_use"] / 1e6, 1)
+    except Exception:
+        pass
+    return None
+
+
 def _execute_one(task):
     """Run one task with the retry/partial-output protocol.
 
@@ -208,6 +232,9 @@ def _execute_one(task):
         "seconds": round(dt, 3),
         "fileset": getattr(out, "fileset_id", None),
     }
+    mem = _device_mem_mb()
+    if mem is not None:
+        entry["device_mem_mb"] = mem
     if status == "done":
         logger.info(f"{name}: done in {dt:.2f}s")
     return entry, n_tried, last_err
