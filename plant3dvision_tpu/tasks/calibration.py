@@ -158,12 +158,22 @@ class ExtrinsicCalibration(RomiTask):
 
         # circle-path diagnostics (reference :558-620, utils.py:132)
         if len(estimated) >= 3:
+            from ..utils import plot_points_circle
             pts = np.array(list(estimated.values()))
             xc, yc, r, residuals = fit_circle(pts[:, 0], pts[:, 1])
             stats["circle_fit"] = {
                 "center": [float(xc), float(yc)], "radius": float(r),
                 "residual_rms": float(np.sqrt((residuals ** 2).mean())),
             }
+            circle_path = outfs.path() / "circle_fit.png"
+            try:
+                plot_points_circle(pts[:, 0], pts[:, 1], xc, yc, r,
+                                   circle_path)
+                cf = outfs.get_file("circle_fit", create=True)
+                cf.filename = "circle_fit.png"
+                self.ctx.scan.store()
+            except Exception as e:  # figure is QC sugar, never fatal
+                logger.warning(f"circle-fit figure failed: {e}")
         io.write_json(outfs.get_file("calibration_stats", create=True), stats)
 
 

@@ -67,6 +67,29 @@ def fit_circle(x, y):
     return xc, yc, r, residuals
 
 
+def plot_points_circle(x, y, cx, cy, r, figname=None):
+    """Scatter of 2D points + the fitted circle, saved to `figname`
+    (role of reference utils.py plot_points_circle — the visual companion
+    of fit_circle in the ExtrinsicCalibration QC)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots()
+    ax.scatter(np.asarray(x, float), np.asarray(y, float), marker="x",
+               c="red", label="camera positions")
+    ax.add_artist(plt.Circle((cx, cy), radius=r, fill=False))
+    ax.set_aspect("equal")
+    ax.set_xlabel("X (mm)")
+    ax.set_ylabel("Y (mm)")
+    ax.legend(loc="upper right", fontsize=8)
+    if figname is not None:
+        fig.savefig(figname, dpi=100, bbox_inches="tight")
+        plt.close(fig)
+        return None
+    return fig
+
+
 def locate_task_filesets(scan, task_names):
     """Map task name -> fileset id by prefix match (reference utils.py:212).
 

@@ -224,6 +224,47 @@ def test_colmap_task_with_fake_binary(temp_db, fake_colmap, tmp_path):
     assert ed["mean"] < 1e-6
 
 
+def test_extrinsic_calibration_task(temp_db, fake_colmap, tmp_path):
+    """ExtrinsicCalibration end-to-end against the hermetic fake binary:
+    calibrated_pose per image, pose QC figure, circle-path fit stats +
+    figure (reference tasks/calibration.py:330-622, utils.py
+    plot_points_circle)."""
+    from plant3dvision_tpu.runtime import RunContext, run_task
+
+    scan = temp_db.create_scan("cal")
+    images = scan.create_fileset("images")
+    n = 12
+    for v in range(n):
+        f = images.create_file(f"{v:05d}_rgb")
+        f.write_raw(b"\xff\xd8fake", "jpg")
+        a = 2 * np.pi * v / n
+        f.set_metadata({"channel": "rgb",
+                        "approximate_pose": [40 * np.cos(a), 40 * np.sin(a),
+                                             10.0, np.degrees(a), 0]})
+
+    os.environ["COLMAP_WD"] = str(tmp_path / "wd")
+    try:
+        ctx = RunContext(temp_db, "cal", config={})
+        report = run_task(ctx, "ExtrinsicCalibration", report=False)
+    finally:
+        os.environ.pop("COLMAP_WD", None)
+    assert report["ExtrinsicCalibration"]["status"] == "done"
+
+    for f in images.get_files():
+        pose = f.get_metadata("calibrated_pose")
+        assert pose is not None and len(pose) == 3
+
+    fs = ctx.scan.get_fileset(report["ExtrinsicCalibration"]["fileset"])
+    stats = json.loads(fs.get_file("calibration_stats").read_raw())
+    # fake model reproduces the circular CNC path exactly
+    cf = stats["circle_fit"]
+    assert abs(cf["radius"] - 40.0) < 0.5, cf
+    assert cf["residual_rms"] < 0.1, cf
+    assert fs.get_file("circle_fit") is not None
+    assert (fs.path() / "circle_fit.png").stat().st_size > 0
+    assert fs.get_file("poses_figure") is not None
+
+
 def test_blind_angle_raises(temp_db, fake_colmap, tmp_path):
     """Corrupt CNC poses for a contiguous arc -> blind-angle retry then
     failure (reference failure-detection semantics)."""
