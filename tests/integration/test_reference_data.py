@@ -589,6 +589,31 @@ def test_segnet_real_checkpoint_quality():
         assert 0.35 < fruit_frac < 0.9, fruit_frac
 
 
+def test_shipped_cylinder_mesh_skeleton():
+    """Skeletonize the reference's shipped cylinder.ply fixture (role of
+    reference tests/unit/test_proc3d.py::test_skeletonize, which runs
+    romicgal's CGAL mean-curvature-flow on it): the skeleton must be a
+    non-trivial curve lying on the cylinder axis and spanning its height."""
+    ply_path = fixtures.REF_TESTDATA / "cylinder.ply"
+    if not ply_path.exists():
+        pytest.skip("reference testdata not available")
+    from plant3dvision_tpu import proc3d
+    from plant3dvision_tpu.fsdb import ply as plyio
+
+    mesh = plyio.read_ply(ply_path)
+    pts = np.asarray(mesh.sample_points_poisson_disk(2000).points)
+    nodes, edges = proc3d.skeletonize(pts, bin_size=0.2, k=10, stem_axis=2)
+    nodes = np.asarray(nodes)
+    assert len(nodes) > 0 and len(edges) > 0  # the reference's oracle
+    # stronger: the fixture is a radius-0.1 cylinder spanning z [0, 2] —
+    # the skeleton must track the axis over the full height
+    zmin, zmax = pts[:, 2].min(), pts[:, 2].max()
+    assert nodes[:, 2].min() < zmin + 0.2
+    assert nodes[:, 2].max() > zmax - 0.2
+    axis_xy = pts[:, :2].mean(axis=0)
+    assert np.abs(nodes[:, :2] - axis_xy).max() < 0.05
+
+
 def test_arabidopsis000_colmap_free_pipeline():
     """COLMAP-free geometric route on the reference's THIRD shipped
     fixture, arabidopsis000 (72 virtual 960x540 views over a Voronoi
