@@ -163,7 +163,8 @@ def _fwd_program(model, H, W, cdt_str, is_uint8, quantize, tta=False):
 
 def segmentation_inference(model, params, images, batch_size=8,
                            compute_dtype="bfloat16",
-                           output_dtype="uint8", tta=False):
+                           output_dtype="uint8", tta=False,
+                           data_parallel="auto"):
     """Batched softmax inference over (N, H, W, 3) uint8/float images.
 
     Returns (N, n_classes, H, W) probabilities in `output_dtype` — the
@@ -176,6 +177,14 @@ def segmentation_inference(model, params, images, batch_size=8,
     device and normalized there (4x less PCIe/ICI traffic than f32), and
     dispatch is DOUBLE-BUFFERED — batch i+1 is enqueued before batch i's
     result is pulled, hiding host decode + transfer under device compute.
+
+    `data_parallel` shards each batch over ALL visible devices (batch
+    axis over a flat "dp" mesh; params replicated, no collectives in the
+    forward pass — the serving half of SURVEY §2.4's TPU mapping).
+    "auto" enables it on any multi-device non-CPU backend; the CPU
+    backend stays single-device by default because the 8-device mesh in
+    this repo's test harness is virtual (one physical core). The
+    effective batch is rounded up to a multiple of the device count.
     """
     import numpy as np
 
@@ -185,10 +194,23 @@ def segmentation_inference(model, params, images, batch_size=8,
     params_c = jax.tree.map(
         lambda x: x.astype(cdt) if jnp.issubdtype(x.dtype, jnp.floating)
         else x, params)
+
+    devices = jax.devices()
+    if data_parallel == "auto":
+        data_parallel = len(devices) > 1 and devices[0].platform != "cpu"
+    batch_sharding = None
+    if data_parallel and len(devices) > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        batch_size = int(-(-batch_size // len(devices)) * len(devices))
+        mesh = Mesh(np.array(devices), ("dp",))
+        batch_sharding = NamedSharding(mesh, P("dp"))
+        params_c = jax.device_put(params_c, NamedSharding(mesh, P()))
     # checkpoint-loaded params are host numpy arrays: without an explicit
     # device_put they would re-cross the host->device link on EVERY jit
     # call (measured +300 ms/batch for 14 MB of params on this relay)
-    params_c = jax.device_put(params_c)
+    if batch_sharding is None:
+        params_c = jax.device_put(params_c)
     # the compiled program is cached across calls (a fresh closure per
     # call would recompile the full CNN every time — tens of seconds of
     # remote XLA compile per Segmentation2D task invocation)
@@ -204,8 +226,9 @@ def segmentation_inference(model, params, images, batch_size=8,
         if pad_n:
             chunk = np.concatenate(
                 [chunk, np.zeros((pad_n, H, W, 3), chunk.dtype)])
-        pending.append((fwd(params_c, jnp.asarray(chunk)),
-                        batch_size - pad_n))
+        batch_dev = (jax.device_put(chunk, batch_sharding)
+                     if batch_sharding is not None else jnp.asarray(chunk))
+        pending.append((fwd(params_c, batch_dev), batch_size - pad_n))
         if len(pending) > 1:
             res, n_valid = pending.pop(0)
             outs.append(np.asarray(res)[:n_valid])

@@ -85,6 +85,32 @@ def test_segmentation_inference_layout():
     np.testing.assert_allclose(probs_f.sum(axis=1), 1.0, atol=1e-4)
 
 
+def test_segmentation_inference_data_parallel():
+    """dp-sharded serving (batch over a flat device mesh, params
+    replicated) matches the single-device path on the 8-device virtual
+    mesh — the production Segmentation2D multi-chip lane (SURVEY §2.4)."""
+    from plant3dvision_tpu.models import create_unet
+    from plant3dvision_tpu.models.unet import segmentation_inference
+
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip("needs a multi-device mesh")
+    model, params = create_unet(jax.random.PRNGKey(2),
+                                input_shape=(1, 32, 32, 3),
+                                widths=(8, 16), blocks_per_stage=1,
+                                n_classes=4)
+    imgs = (np.random.rand(11, 32, 40, 3) * 255).astype(np.uint8)
+    ref = segmentation_inference(model, params, imgs, batch_size=4,
+                                 data_parallel=False)
+    # batch 4 is rounded up to the 8-device multiple internally
+    dp = segmentation_inference(model, params, imgs, batch_size=4,
+                                data_parallel=True)
+    assert dp.shape == ref.shape == (11, 4, 32, 40)
+    # batch-axis sharding must not change per-sample math (uint8/255
+    # quantization absorbs sub-lsb reduction-order noise)
+    np.testing.assert_array_equal(dp, ref)
+
+
 def test_segmentation_inference_tta():
     """Flip-TTA: valid distribution, and exactly the plain/flipped average
     (both evaluated by the same compiled program)."""
