@@ -684,28 +684,41 @@ def carve_fused(masks, cameras, valid, origin, voxel_size, shape,
 
 def carve_sharded_hierarchical(masks, cameras, valid, origin, voxel_size,
                                shape, mesh: Mesh, axis: str = "dp",
-                               cap: int = 8192, fine_tiles=True):
+                               cap: int = 8192, fine_tiles=True,
+                               packed=None, hw=None):
     """Convenience wrapper: pad views to the mesh axis, pack, carve.
 
     Uses the tile row-gather fine level by default (same bit-exact
     semantics; ~6x fewer fine-level gathers per shard) and falls back to
     the byte-gather path if a parent's pixel window overflows the 32x32
     tile guarantee (scene closer to the cameras than the fine cell
-    size)."""
-    masks = np.asarray(masks)
-    V, H, W = masks.shape
+    size). Pass bit-packed masks via `packed` (V, H*W/8) + `hw`=(H, W)
+    to skip the host pack (the FusedCarving ingest path)."""
+    if packed is not None:
+        H, W = hw
+        packed = np.asarray(packed)
+        V = packed.shape[0]
+    else:
+        masks = np.asarray(masks)
+        V, H, W = masks.shape
     n = mesh.shape[axis]
     pad = (-V) % n
+    if packed is None:
+        if pad:
+            masks = np.concatenate(
+                [masks, np.zeros((pad, H, W), masks.dtype)])
+        packed = pack_masks(masks)
+    elif pad:
+        packed = np.concatenate(
+            [packed, np.zeros((pad, packed.shape[1]), packed.dtype)])
     if pad:
-        masks = np.concatenate([masks, np.zeros((pad, H, W), masks.dtype)])
         cameras = np.concatenate(
             [cameras, np.tile(cameras[-1:], (pad, 1))])
         valid = np.concatenate([valid, np.zeros(pad, bool)])
-    packed = pack_masks(masks)
     caps = [cap, cap]
     tiles_on = bool(fine_tiles)
     while True:
-        fn = make_sharded_carver(mesh, axis, H, W, len(masks), tuple(shape),
+        fn = make_sharded_carver(mesh, axis, H, W, V + pad, tuple(shape),
                                  caps=tuple(caps), fine_tiles=tiles_on)
         with mesh:
             vol, counts = fn(jnp.asarray(packed), jnp.asarray(cameras),

@@ -58,7 +58,10 @@ class FusedCarving(RomiTask):
     #: small programs — the low-cold-latency alternative on a fresh
     #: cache), "fp" = fused pair-compacted engine
     #: (parallel/carving_fp.py — bit-exact, but its one large program
-    #: hits a remote-compile pathology on this TPU toolchain; opt-in)
+    #: hits a remote-compile pathology on this TPU toolchain; opt-in),
+    #: "sharded" = view-sharded hierarchical carve over ALL visible
+    #: devices (parallel/carving_mp.carve_sharded_hierarchical — the
+    #: multi-chip lane; bit-exact vs "fused")
     engine = Parameter(default="fused", significant=False)
     #: decode/upload chunk: image decode+threshold+pack of chunk i+1
     #: overlaps the (async) device_put of chunk i
@@ -113,6 +116,17 @@ class FusedCarving(RomiTask):
             from ..parallel.carving_mp import carve_fused
             return carve_fused(None, cams, valid, origin, vs, shape,
                                packed=packed_dev, hw=(H, W))
+        if str(self.engine) == "sharded":
+            # view-sharded hierarchical carve over ALL visible devices
+            # (per-level pmax joins over ICI — the multi-chip lane,
+            # SURVEY §2.4; bit-exact vs "fused", test_fused.py)
+            import jax
+            from jax.sharding import Mesh
+            from ..parallel.carving_mp import carve_sharded_hierarchical
+            mesh = Mesh(np.array(jax.devices()), ("dp",))
+            return carve_sharded_hierarchical(
+                None, cams, valid, origin, vs, shape, mesh,
+                packed=np.asarray(packed_dev), hw=(H, W))
         from ..parallel.carving_fp import carve_fused_pairs
         return carve_fused_pairs(None, cams, valid, origin, vs, shape,
                                  packed=packed_dev, hw=(H, W))

@@ -60,3 +60,15 @@ def test_fused_matches_task_chain():
         ofile = ctx3.scan.get_fileset(
             ctx3.get_task("FusedCarving").task_id()).get_files()[0]
         np.testing.assert_array_equal(vol_chain, io.read_volume(ofile))
+
+        # "sharded" engine: the multi-chip lane (view-sharded hierarchical
+        # carve, pmax joins per level) through the PRODUCT task, over the
+        # 8-device virtual mesh — must also be bit-identical
+        cfg_sh = {"FusedCarving": dict(CFG_FUSED["FusedCarving"],
+                                       engine="sharded")}
+        ctx4 = RunContext(db, "s", cfg_sh)
+        ctx4.scan.delete_fileset(ctx4.get_task("FusedCarving").task_id())
+        run_task(ctx4, "FusedCarving", report=False)
+        sfile = ctx4.scan.get_fileset(
+            ctx4.get_task("FusedCarving").task_id()).get_files()[0]
+        np.testing.assert_array_equal(vol_chain, io.read_volume(sfile))
