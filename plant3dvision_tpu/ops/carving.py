@@ -31,17 +31,24 @@ import numpy as np
 EPS = 1e-9
 
 
-def _project(view_params, origin, voxel_size, shape, W, H):
+def _project(view_params, origin, voxel_size, shape, W, H, x_off=0):
     """Per-view projected integer pixel coords + in-frustum mask.
 
     view_params: (16,) = [fx, fy, cx, cy, r00..r22, t0, t1, t2]
     Returns (pxi, pyi, in_img) with shapes == `shape`.
+
+    `x_off` shifts the x iota by a GLOBAL index offset (grid-slab
+    sharding): `origin + vs * (iota + off)` reproduces the dense
+    engine's `origin + vs * i_global` bit-for-bit, which a pre-shifted
+    slab origin (`(origin + off*vs) + vs*iota`) does not in f32.
     """
     nx, ny, nz = shape
     fx, fy, cx, cy = view_params[0], view_params[1], view_params[2], view_params[3]
     r = view_params[4:13]
     t = view_params[13:16]
-    x = origin[0] + voxel_size * jax.lax.broadcasted_iota(jnp.float32, shape, 0)
+    x = origin[0] + voxel_size * (
+        jax.lax.broadcasted_iota(jnp.float32, shape, 0)
+        + jnp.float32(x_off))
     y = origin[1] + voxel_size * jax.lax.broadcasted_iota(jnp.float32, shape, 1)
     z = origin[2] + voxel_size * jax.lax.broadcasted_iota(jnp.float32, shape, 2)
     pz = r[6] * x + r[7] * y + r[8] * z + t[2]

@@ -89,16 +89,16 @@ def carve_grid_sharded(masks, cameras, valid, origin, voxel_size, shape,
              in_specs=(P(), P(), P()),
              out_specs=P(axis))
     def _carve_slab(masks_g, cams_g, valid_g):
-        slab = jax.lax.axis_index(axis)
-        slab_origin = jnp.asarray(origin, jnp.float32) + jnp.array(
-            [slab.astype(jnp.float32) * (nx // n) * vs, 0.0, 0.0])
+        x_off = jax.lax.axis_index(axis) * (nx // n)
+        origin_j = jnp.asarray(origin, jnp.float32)
         masks_flat = (masks_g.reshape(V, H * W) != 0)
 
         def body(carry, inputs):
             killed, seen = carry
             mask_flat, cam, ok = inputs
-            _, _, pxi, pyi, in_img = _project(cam, slab_origin, vs,
-                                              local_shape, W, H)
+            _, _, pxi, pyi, in_img = _project(cam, origin_j, vs,
+                                              local_shape, W, H,
+                                              x_off=x_off)
             lin = jnp.clip(pyi, 0, H - 1) * W + jnp.clip(pxi, 0, W - 1)
             hit = jnp.take(mask_flat, lin.reshape(-1), axis=0).reshape(local_shape)
             in_img = jnp.logical_and(in_img, ok)
@@ -112,3 +112,71 @@ def carve_grid_sharded(masks, cameras, valid, origin, voxel_size, shape,
                          jnp.where(seen, jnp.int8(1), jnp.int8(0)))
 
     return jax.jit(_carve_slab)(masks, cameras, valid)
+
+
+def average_grid_sharded(masks, cameras, valid, origin, voxel_size, shape,
+                         mesh: Mesh, axis: str = "dp"):
+    """X-slab-sharded multi-label AVERAGING volume (the ML route's
+    Voxels(type="averaging") hot op, reference kernels/backprojection.c:36-55
+    semantics): each device accumulates bilinear samples for its grid slab
+    over ALL views. No collective touches the volume, and every slab sums
+    views in the same order as the dense engine (and indexes voxels by
+    GLOBAL index, see _project x_off) — the result matches
+    ops.carving.average to FMA-level float noise (~1e-6 relative; XLA
+    may fuse the bilinear multiply-adds differently per compiled
+    program, so cross-program float bit-exactness is not guaranteed —
+    the discrete-label carve engines ARE bit-exact). This is the
+    memory-scaling lane: the averaging grid is float32 (4x the carve
+    labels) and is what OOMs first on fine ML voxels (a 0.5 mm
+    real-scan averaging volume exceeds one v5e's HBM — CLAUDE.md
+    round-3 session-5 note).
+
+    shape[0] must be divisible by the mesh axis size (pad the bbox).
+    """
+    from functools import partial
+
+    from jax import shard_map
+
+    n = mesh.shape[axis]
+    nx, ny, nz = shape
+    assert nx % n == 0, f"pad grid x-dim to a multiple of {n}"
+    V, H, W = masks.shape
+
+    vs = jnp.float32(voxel_size)
+    local_shape = (nx // n, ny, nz)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(), P()),
+             out_specs=P(axis))
+    def _avg_slab(masks_g, cams_g, valid_g):
+        x_off = jax.lax.axis_index(axis) * (nx // n)
+        origin_j = jnp.asarray(origin, jnp.float32)
+        masks_flat = masks_g.reshape(V, H * W).astype(jnp.float32)
+
+        def body(acc, inputs):
+            mask_flat, cam, ok = inputs
+            px, py, pxi, pyi, in_img = _project(cam, origin_j, vs,
+                                                local_shape, W, H,
+                                                x_off=x_off)
+            x0 = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, W - 2)
+            y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, H - 2)
+            fx = jnp.clip(px - x0.astype(jnp.float32), 0.0, 1.0)
+            fy = jnp.clip(py - y0.astype(jnp.float32), 0.0, 1.0)
+
+            def g(yy, xx):
+                return jnp.take(mask_flat, (yy * W + xx).reshape(-1),
+                                axis=0).reshape(local_shape)
+
+            val = (g(y0, x0) * (1 - fx) * (1 - fy)
+                   + g(y0, x0 + 1) * fx * (1 - fy)
+                   + g(y0 + 1, x0) * (1 - fx) * fy
+                   + g(y0 + 1, x0 + 1) * fx * fy)
+            in_img = jnp.logical_and(in_img, ok)
+            return acc + jnp.where(in_img, val, 0.0), None
+
+        init = jax.lax.pcast(jnp.zeros(local_shape, jnp.float32),
+                             (axis,), to="varying")
+        acc, _ = jax.lax.scan(body, init, (masks_flat, cams_g, valid_g))
+        return acc
+
+    return jax.jit(_avg_slab)(masks, cameras, valid)

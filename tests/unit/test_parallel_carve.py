@@ -31,6 +31,30 @@ def test_sharded_hier_matches_dense_4dev():
     np.testing.assert_array_equal(d, h)
 
 
+def test_average_grid_sharded_matches_dense_8dev():
+    """X-slab-sharded AVERAGING (the ML Voxels hot op, the float grid
+    that OOMs first at fine voxels) matches the dense engine: slabs are
+    disjoint, every slab sums views in the same order and indexes voxels
+    globally — the residual is XLA's per-program FMA-fusion noise
+    (~1e-6 relative), not a reduction reorder."""
+    from plant3dvision_tpu.ops.carving import average
+    from plant3dvision_tpu.parallel.carving import average_grid_sharded
+
+    mesh = make_mesh({"dp": 8})
+    masks, cams = _synthetic_views(n_views=10, H=128, W=128, radius=8.0,
+                                   dist_cam=50.0)
+    soft = masks.astype(np.float32) / 255.0 * 0.9 + 0.05  # soft-mask path
+    valid = np.ones(10, bool)
+    valid[-1] = False                                     # honors valid
+    origin = np.array([-20.0, -20.0, -20.0], np.float32)
+    shape = (40, 40, 40)
+    d = np.asarray(average(jnp.asarray(soft), jnp.asarray(cams),
+                           jnp.asarray(valid), origin, 1.0, shape))
+    s = np.asarray(average_grid_sharded(soft, cams, valid, origin, 1.0,
+                                        shape, mesh))
+    np.testing.assert_allclose(d, s, rtol=3e-6, atol=1e-5)
+
+
 def test_fused_single_chip_matches_dense():
     """The fused (one-jit, no host syncs) single-chip carve is bit-exact."""
     from plant3dvision_tpu.parallel.carving_mp import carve_fused
