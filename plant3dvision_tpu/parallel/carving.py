@@ -114,6 +114,72 @@ def carve_grid_sharded(masks, cameras, valid, origin, voxel_size, shape,
     return jax.jit(_carve_slab)(masks, cameras, valid)
 
 
+def carve_2d_sharded(masks, cameras, valid, origin, voxel_size, shape,
+                     mesh: Mesh, view_axis: str = "vp",
+                     grid_axis: str = "gp"):
+    """2D-mesh carve: views sharded over `view_axis` AND grid X-slabs
+    over `grid_axis` — the full SPMD recipe for scans that outgrow one
+    chip in BOTH dimensions (a view set too large to keep HBM-resident
+    per chip, and a grid finer than one chip holds; reference hot loop
+    cl.py:190-227 is one-chip only). Each of the nv x ng devices carves
+    its (view shard x grid slab) block over its local views; the ONLY
+    collective is the kill/seen OR-join (pmax over int8) across the
+    view axis — 2 x slab-sized int8 riding ICI; nothing ever moves
+    across the grid axis. Voxels are indexed by GLOBAL x index
+    (_project x_off) so the result is bit-identical to the dense
+    engine.
+
+    masks: (V, H, W), V divisible by mesh.shape[view_axis] (pad +
+    valid=False); shape[0] divisible by mesh.shape[grid_axis].
+    Returns int8: -1 killed / 1 alive-and-seen / 0 unobserved.
+    """
+    from functools import partial
+
+    from jax import shard_map
+
+    nv = mesh.shape[view_axis]
+    ng = mesh.shape[grid_axis]
+    V, H, W = masks.shape
+    nx, ny, nz = shape
+    assert V % nv == 0, f"pad views to a multiple of {nv}"
+    assert nx % ng == 0, f"pad grid x-dim to a multiple of {ng}"
+
+    vs = jnp.float32(voxel_size)
+    local_shape = (nx // ng, ny, nz)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(view_axis), P(view_axis), P(view_axis)),
+             out_specs=P(grid_axis))
+    def _carve_block(masks_l, cams_l, valid_l):
+        x_off = jax.lax.axis_index(grid_axis) * (nx // ng)
+        origin_j = jnp.asarray(origin, jnp.float32)
+        masks_flat = (masks_l.reshape(masks_l.shape[0], H * W) != 0)
+
+        def body(carry, inputs):
+            killed, seen = carry
+            mask_flat, cam, ok = inputs
+            _, _, pxi, pyi, in_img = _project(cam, origin_j, vs,
+                                              local_shape, W, H,
+                                              x_off=x_off)
+            lin = jnp.clip(pyi, 0, H - 1) * W + jnp.clip(pxi, 0, W - 1)
+            hit = jnp.take(mask_flat, lin.reshape(-1),
+                           axis=0).reshape(local_shape)
+            in_img = jnp.logical_and(in_img, ok)
+            return (killed | (in_img & ~hit), seen | (in_img & hit)), None
+
+        init = jax.lax.pcast(
+            (jnp.zeros(local_shape, bool), jnp.zeros(local_shape, bool)),
+            (view_axis, grid_axis), to="varying")
+        (killed, seen), _ = jax.lax.scan(body, init,
+                                         (masks_flat, cams_l, valid_l))
+        killed = jax.lax.pmax(killed.astype(jnp.int8), view_axis)
+        seen = jax.lax.pmax(seen.astype(jnp.int8), view_axis)
+        return jnp.where(killed == 1, jnp.int8(-1),
+                         jnp.where(seen == 1, jnp.int8(1), jnp.int8(0)))
+
+    return jax.jit(_carve_block)(masks, cameras, valid)
+
+
 def average_grid_sharded(masks, cameras, valid, origin, voxel_size, shape,
                          mesh: Mesh, axis: str = "dp"):
     """X-slab-sharded multi-label AVERAGING volume (the ML route's

@@ -55,6 +55,26 @@ def test_average_grid_sharded_matches_dense_8dev():
     np.testing.assert_allclose(d, s, rtol=3e-6, atol=1e-5)
 
 
+def test_carve_2d_sharded_matches_dense():
+    """2D-mesh carve (views x grid slabs) is bit-identical to the dense
+    engine on both 2x4 and 4x2 meshes: global voxel indexing per slab +
+    pmax OR-join over the view axis only."""
+    from plant3dvision_tpu.parallel.carving import carve_2d_sharded
+
+    masks, cams = _synthetic_views(n_views=12, H=128, W=128, radius=8.0,
+                                   dist_cam=50.0)
+    valid = np.ones(12, bool)
+    valid[3] = False                                     # honors valid
+    origin = np.array([-20.0, -20.0, -20.0], np.float32)
+    shape = (40, 40, 40)
+    d = _dense(masks, cams, valid, origin, 1.0, shape)
+    for vp, gp in ((2, 4), (4, 2)):
+        mesh = make_mesh({"vp": vp, "gp": gp})
+        s = np.asarray(carve_2d_sharded(masks, cams, valid, origin, 1.0,
+                                        shape, mesh))
+        np.testing.assert_array_equal(d, s)
+
+
 def test_fused_single_chip_matches_dense():
     """The fused (one-jit, no host syncs) single-chip carve is bit-exact."""
     from plant3dvision_tpu.parallel.carving_mp import carve_fused
