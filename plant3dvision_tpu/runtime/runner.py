@@ -182,6 +182,26 @@ def _device_mem_mb():
     return None
 
 
+def _maybe_profile(task_name: str):
+    """Per-task XLA profiler hook (SURVEY §5 tracing plan): when
+    P3D_PROFILE=<dir> is set, each task's run() executes under
+    jax.profiler.trace(<dir>/<TaskName>) — one TensorBoard-loadable
+    trace per task (device timelines, HLO op breakdown, host/device
+    overlap). Off (a no-op context) unless the env var is set, so the
+    hot path never imports the profiler."""
+    import contextlib
+    import os
+
+    prof_dir = os.environ.get("P3D_PROFILE", "")
+    if not prof_dir:
+        return contextlib.nullcontext()
+    import jax
+
+    path = os.path.join(prof_dir, task_name)
+    os.makedirs(path, exist_ok=True)
+    return jax.profiler.trace(path)
+
+
 def _execute_one(task):
     """Run one task with the retry/partial-output protocol.
 
@@ -211,7 +231,8 @@ def _execute_one(task):
         try:
             if attempt:
                 logger.warning(f"{name}: retry {attempt}/{attempts - 1}")
-            task.run()
+            with _maybe_profile(name):
+                task.run()
             if hasattr(task, "finalize"):
                 task.finalize()
             status = "done"

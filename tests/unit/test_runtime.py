@@ -371,3 +371,16 @@ def test_cli_backs_up_pipeline_toml(temp_db, tmp_path):
     saved = tomllib.loads(backup.read_text())
     assert saved["TouchFileTask"]["upstream_task"] == "ImagesFilesetExists"
     assert saved["TouchFileTask"]["scan_id"] == "cli_backup"
+
+
+def test_profiler_hook(ctx, tmp_path, monkeypatch):
+    """P3D_PROFILE=<dir> wraps each task run in jax.profiler.trace —
+    one TensorBoard-loadable trace directory per task (SURVEY §5
+    tracing hook)."""
+    monkeypatch.setenv("P3D_PROFILE", str(tmp_path / "prof"))
+    report = run_task(ctx, TouchFileTask, report=False)
+    assert report["TouchFileTask"]["status"] == "done"
+    trace_dir = tmp_path / "prof" / "TouchFileTask"
+    assert trace_dir.is_dir()
+    # the profiler writes <host>.xplane.pb under plugins/profile/<ts>/
+    assert list(trace_dir.rglob("*.xplane.pb"))
