@@ -27,7 +27,7 @@ Same functional surface as ResUNet: __call__(x: (B, H, W, 3) in [0,1])
 from __future__ import annotations
 
 import math
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -61,34 +61,39 @@ class ResBlock(nn.Module):
     features: int
     stride: int = 1
     dtype: jnp.dtype = jnp.bfloat16
+    #: optional conv replacement (models/quant.py int8 serving lane)
+    conv_impl: Any = None
 
     @nn.compact
     def __call__(self, x):
         h = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
-                    dtype=self.dtype, padding="SAME")(x)
+                    dtype=self.dtype, padding="SAME",
+                    conv_general_dilated=self.conv_impl)(x)
         h = nn.GroupNorm(num_groups=_gn(self.features), dtype=jnp.float32)(h)
         h = nn.relu(h)
         h = nn.Conv(self.features, (3, 3), dtype=self.dtype,
-                    padding="SAME")(h)
+                    padding="SAME", conv_general_dilated=self.conv_impl)(h)
         h = nn.GroupNorm(num_groups=_gn(self.features), dtype=jnp.float32)(h)
         if x.shape[-1] != self.features or self.stride != 1:
             x = nn.Conv(self.features, (1, 1), strides=(self.stride,) * 2,
-                        dtype=self.dtype)(x)
+                        dtype=self.dtype,
+                        conv_general_dilated=self.conv_impl)(x)
         return nn.relu(h + x)
 
 
 class ConvBlock(nn.Module):
     features: int
     dtype: jnp.dtype = jnp.bfloat16
+    conv_impl: Any = None
 
     @nn.compact
     def __call__(self, x):
         h = nn.Conv(self.features, (3, 3), dtype=self.dtype,
-                    padding="SAME")(x)
+                    padding="SAME", conv_general_dilated=self.conv_impl)(x)
         h = nn.GroupNorm(num_groups=_gn(self.features), dtype=jnp.float32)(h)
         h = nn.relu(h)
         h = nn.Conv(self.features, (3, 3), dtype=self.dtype,
-                    padding="SAME")(h)
+                    padding="SAME", conv_general_dilated=self.conv_impl)(h)
         h = nn.GroupNorm(num_groups=_gn(self.features), dtype=jnp.float32)(h)
         return nn.relu(h)
 
@@ -99,6 +104,10 @@ class TPUSegNet(nn.Module):
     blocks_per_stage: int = 2
     patch: int = 4
     dtype: jnp.dtype = jnp.bfloat16
+    #: optional conv replacement for every compute conv (the dynamic
+    #: int8 PTQ serving lane, models/quant.py); the float32 subpixel
+    #: head stays exact. Same param tree either way.
+    conv_impl: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -106,7 +115,7 @@ class TPUSegNet(nn.Module):
         B, H, W, _ = x.shape
         h = space_to_depth(x.astype(self.dtype), p)      # (B, H/p, W/p, 48)
         h = nn.Conv(self.widths[0], (3, 3), dtype=self.dtype,
-                    padding="SAME")(h)
+                    padding="SAME", conv_general_dilated=self.conv_impl)(h)
         h = nn.GroupNorm(num_groups=_gn(self.widths[0]),
                          dtype=jnp.float32)(h)
         h = nn.relu(h)
@@ -114,9 +123,11 @@ class TPUSegNet(nn.Module):
         skips = []
         for i, w in enumerate(self.widths):
             stride = 2 if i > 0 else 1
-            h = ResBlock(w, stride=stride, dtype=self.dtype)(h)
+            h = ResBlock(w, stride=stride, dtype=self.dtype,
+                         conv_impl=self.conv_impl)(h)
             for _ in range(self.blocks_per_stage - 1):
-                h = ResBlock(w, dtype=self.dtype)(h)
+                h = ResBlock(w, dtype=self.dtype,
+                             conv_impl=self.conv_impl)(h)
             skips.append(h)
 
         h = skips[-1]
@@ -125,7 +136,7 @@ class TPUSegNet(nn.Module):
             h = jax.image.resize(h, (B, t[1], t[2], h.shape[3]),
                                  method="bilinear").astype(self.dtype)
             h = jnp.concatenate([h, skip], axis=-1)
-            h = ConvBlock(t[3], dtype=self.dtype)(h)
+            h = ConvBlock(t[3], dtype=self.dtype, conv_impl=self.conv_impl)(h)
 
         # subpixel head: n_classes logits per pixel of the p x p patch,
         # expanded by a reshape — no conv ever runs at full resolution

@@ -11,7 +11,7 @@ TPU design notes:
 from __future__ import annotations
 
 import functools
-from typing import Sequence
+from typing import Any, Sequence
 
 import math
 
@@ -30,13 +30,18 @@ SEGMENTATION_LABELS = ["background", "flower", "fruit", "leaf", "pedicel", "stem
 class ConvBlock(nn.Module):
     features: int
     dtype: jnp.dtype = jnp.bfloat16
+    #: optional lax.conv_general_dilated replacement for the compute
+    #: convs (models/quant.int8_conv_general_dilated for the int8 lane)
+    conv_impl: Any = None
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Conv(self.features, (3, 3), dtype=self.dtype, padding="SAME")(x)
+        h = nn.Conv(self.features, (3, 3), dtype=self.dtype, padding="SAME",
+                    conv_general_dilated=self.conv_impl)(x)
         h = nn.GroupNorm(num_groups=_gn(self.features), dtype=jnp.float32)(h)
         h = nn.relu(h)
-        h = nn.Conv(self.features, (3, 3), dtype=self.dtype, padding="SAME")(h)
+        h = nn.Conv(self.features, (3, 3), dtype=self.dtype, padding="SAME",
+                    conv_general_dilated=self.conv_impl)(h)
         h = nn.GroupNorm(num_groups=_gn(self.features), dtype=jnp.float32)(h)
         return nn.relu(h)
 
@@ -45,18 +50,22 @@ class ResBlock(nn.Module):
     features: int
     stride: int = 1
     dtype: jnp.dtype = jnp.bfloat16
+    conv_impl: Any = None
 
     @nn.compact
     def __call__(self, x):
         h = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
-                    dtype=self.dtype, padding="SAME")(x)
+                    dtype=self.dtype, padding="SAME",
+                    conv_general_dilated=self.conv_impl)(x)
         h = nn.GroupNorm(num_groups=_gn(self.features), dtype=jnp.float32)(h)
         h = nn.relu(h)
-        h = nn.Conv(self.features, (3, 3), dtype=self.dtype, padding="SAME")(h)
+        h = nn.Conv(self.features, (3, 3), dtype=self.dtype, padding="SAME",
+                    conv_general_dilated=self.conv_impl)(h)
         h = nn.GroupNorm(num_groups=_gn(self.features), dtype=jnp.float32)(h)
         if x.shape[-1] != self.features or self.stride != 1:
             x = nn.Conv(self.features, (1, 1), strides=(self.stride, self.stride),
-                        dtype=self.dtype, padding="SAME")(x)
+                        dtype=self.dtype, padding="SAME",
+                        conv_general_dilated=self.conv_impl)(x)
         return nn.relu(h + x)
 
 
@@ -67,22 +76,28 @@ class ResUNet(nn.Module):
     widths: Sequence[int] = (64, 128, 256, 512)
     blocks_per_stage: int = 2
     dtype: jnp.dtype = jnp.bfloat16
+    #: optional conv replacement for every compute conv (the int8
+    #: serving lane, models/quant.py); the float32 logits head is
+    #: always exact. None = stock lax conv. Not a checkpointed value —
+    #: the param tree is identical either way.
+    conv_impl: Any = None
 
     @nn.compact
     def __call__(self, x):
         # x: (B, H, W, 3) float32 in [0,1]; H, W multiples of 32
         h = x.astype(self.dtype)
         h = nn.Conv(self.widths[0], (7, 7), strides=(2, 2), dtype=self.dtype,
-                    padding="SAME")(h)
+                    padding="SAME", conv_general_dilated=self.conv_impl)(h)
         h = nn.GroupNorm(num_groups=_gn(self.widths[0]), dtype=jnp.float32)(h)
         h = nn.relu(h)
 
         skips = [h]
         for i, w in enumerate(self.widths):
             stride = 2 if i > 0 else 1
-            h = ResBlock(w, stride=stride, dtype=self.dtype)(h)
+            h = ResBlock(w, stride=stride, dtype=self.dtype,
+                         conv_impl=self.conv_impl)(h)
             for _ in range(self.blocks_per_stage - 1):
-                h = ResBlock(w, dtype=self.dtype)(h)
+                h = ResBlock(w, dtype=self.dtype, conv_impl=self.conv_impl)(h)
             skips.append(h)
 
         # decoder
@@ -92,12 +107,14 @@ class ResUNet(nn.Module):
             h = jax.image.resize(h, (h.shape[0], target[1], target[2], h.shape[3]),
                                  method="bilinear").astype(self.dtype)
             h = jnp.concatenate([h, skip.astype(self.dtype)], axis=-1)
-            h = ConvBlock(target[3], dtype=self.dtype)(h)
+            h = ConvBlock(target[3], dtype=self.dtype,
+                          conv_impl=self.conv_impl)(h)
 
         # final upsample to input resolution
         h = jax.image.resize(h, (x.shape[0], x.shape[1], x.shape[2], h.shape[3]),
                              method="bilinear").astype(self.dtype)
-        h = ConvBlock(self.widths[0] // 2, dtype=self.dtype)(h)
+        h = ConvBlock(self.widths[0] // 2, dtype=self.dtype,
+                      conv_impl=self.conv_impl)(h)
         logits = nn.Conv(self.n_classes, (1, 1), dtype=jnp.float32)(h)
         return logits.astype(jnp.float32)
 
@@ -164,7 +181,7 @@ def _fwd_program(model, H, W, cdt_str, is_uint8, quantize, tta=False):
 def segmentation_inference(model, params, images, batch_size=8,
                            compute_dtype="bfloat16",
                            output_dtype="uint8", tta=False,
-                           data_parallel="auto"):
+                           data_parallel="auto", conv_mode="bf16"):
     """Batched softmax inference over (N, H, W, 3) uint8/float images.
 
     Returns (N, n_classes, H, W) probabilities in `output_dtype` — the
@@ -185,8 +202,19 @@ def segmentation_inference(model, params, images, batch_size=8,
     backend stays single-device by default because the 8-device mesh in
     this repo's test harness is virtual (one physical core). The
     effective batch is rounded up to a multiple of the device count.
+
+    `conv_mode="int8"` swaps every compute conv for the dynamic int8
+    PTQ lane (models/quant.py): the v5e MXU runs int8 contractions at
+    ~2x its bf16 rate (measured 227 vs 124 TOP/s on 3x3 128ch convs,
+    exp_int8_conv.py), same checkpoint, float32 logits head untouched.
     """
     import numpy as np
+
+    if conv_mode not in ("bf16", "float", "int8"):
+        raise ValueError(f"conv_mode must be bf16|int8, got {conv_mode!r}")
+    if conv_mode == "int8":
+        from .quant import int8_conv_general_dilated
+        model = model.clone(conv_impl=int8_conv_general_dilated)
 
     imgs = np.asarray(images)
     N, H, W, _ = imgs.shape

@@ -201,6 +201,11 @@ class Segmentation2D(Masks):
     #: at 64; batch 128 OOMs a v5e — SEG_BENCH.json). 8 is the safe
     #: default for small-memory devices; not significant for hashing.
     batch_size = Parameter(default=8, significant=False)
+    #: "bf16" (default) or "int8": dynamic int8 PTQ serving lane — the
+    #: v5e MXU runs int8 contractions ~2x faster than bf16 (measured
+    #: 227 vs 124 TOP/s, exp_int8_conv.py); same checkpoint, float
+    #: logits head. Argmax-agreement guard: tests/unit/test_models.py.
+    conv_mode = Parameter(default="bf16", significant=False)
 
     def requires(self):
         return {"images": self._upstream(),
@@ -256,7 +261,8 @@ class Segmentation2D(Masks):
 
         probs = segmentation_inference(model, params, batch,
                                        batch_size=int(self.batch_size),
-                                       tta=bool(self.tta))  # (N, C, H, W)
+                                       tta=bool(self.tta),
+                                       conv_mode=str(self.conv_mode))  # (N, C, H, W)
         if probs.dtype == np.uint8:   # quantized transfer (unet.py)
             probs = probs.astype(np.float32) / 255.0
 

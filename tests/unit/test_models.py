@@ -133,6 +133,34 @@ def test_segmentation_inference_tta():
                                atol=2e-3)
 
 
+def test_segmentation_inference_int8_lane():
+    """Dynamic int8 PTQ serving lane (models/quant.py): same checkpoint,
+    every compute conv quantized on the fly (symmetric per-channel
+    weights, per-tensor activations, int32 accumulate). Guard: the
+    COMMITTED synth checkpoint's predictions agree with the float lane
+    even on out-of-domain noise input (the worst case for dynamic
+    activation scales — in-domain renders agree tighter)."""
+    import pathlib
+    from plant3dvision_tpu.models.checkpoint import (
+        params_from_npz_bytes, _upcast_f16, model_from_config)
+    from plant3dvision_tpu.models.unet import segmentation_inference
+
+    ckpt = pathlib.Path(__file__).parents[2] / "checkpoints" / "unet_seg.npz"
+    params, config = params_from_npz_bytes(ckpt.read_bytes())
+    params = _upcast_f16(params)
+    model = model_from_config(config)
+
+    img = (np.random.RandomState(0).rand(192, 192, 3) * 255).astype(np.uint8)
+    kw = dict(batch_size=1, output_dtype="float32", data_parallel=False)
+    pf = segmentation_inference(model, params, img[None], conv_mode="bf16", **kw)
+    pi = segmentation_inference(model, params, img[None], conv_mode="int8", **kw)
+    assert pi.shape == pf.shape
+    np.testing.assert_allclose(pi.sum(axis=1), 1.0, atol=1e-4)
+    agree = (pf.argmax(1) == pi.argmax(1)).mean()
+    assert agree > 0.95, f"int8 argmax agreement {agree:.4f}"
+    assert np.abs(pf - pi).mean() < 0.02
+
+
 def test_torch_state_dict_converter_hermetic():
     """Hermetic converter test (the real romiseg checkpoint is not
     redistributable — reference get_model.sh:10-12): a torch-layout
