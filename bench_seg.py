@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--size", type=int, default=896)
     ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--conv-mode", default="bf16", choices=["bf16", "int8"],
+                    help="int8 = dynamic PTQ conv lane (models/quant.py)")
     ap.add_argument("--platform", default=None)
     ap.add_argument("--checkpoint",
                     default=str(REPO / "checkpoints/unet_seg.npz"))
@@ -63,6 +65,10 @@ def main():
         if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x, params)
     params = jax.device_put(params)   # else numpy params re-upload per call
 
+    if args.conv_mode == "int8":
+        from plant3dvision_tpu.models.quant import int8_conv_general_dilated
+        model = model.clone(conv_impl=int8_conv_general_dilated)
+
     @jax.jit
     def fwd(p, x):
         logits = model.apply(p, x.astype(jnp.bfloat16) / 255.0)
@@ -94,7 +100,7 @@ def main():
         "images_per_s": round(img_s, 2),
         "batch": args.batch,
         "size": args.size,
-        "dtype": "bfloat16",
+        "dtype": "bfloat16" if args.conv_mode == "bf16" else "int8-ptq",
         "min_step_s": round(best, 4),
         "median_step_s": round(float(np.median(times)), 4),
         "compile_s": round(compile_s, 1),

@@ -24,6 +24,20 @@ to the float lane ("Conv_0" names and shapes unchanged).
 Accuracy: dynamic symmetric PTQ on ReLU/GroupNorm activations; the
 committed-checkpoint agreement guard lives in
 tests/unit/test_models.py (argmax agreement vs the bf16 lane).
+
+MEASURED VERDICT (v5e, 896^2, SEG_BENCH.json): the lane is an opt-in
+that does NOT pay on these nets — ResUNet b64 148 vs 198 img/s,
+TPUSegNet b96 333 vs 379. The per-conv absmax reduce is an unfusible
+extra HBM pass and the nets are bandwidth-bound at this resolution.
+The static-scale ceiling probe (exp_int8_static.py — activation scale
+as a compile-time constant, i.e. zero calibration overhead) measured
+422.9 vs 418.4 (wash) on TPUSegNet and 169.8 vs 197.7 (loss) on
+ResUNet, so calibration infrastructure would not recoup it either:
+XLA's int8 conv path only reaches its ~2x MXU rate (227 vs 124 TOP/s,
+exp_int8_conv.py) on long chains of same-shape convs, not through the
+GroupNorm/resize-laden UNet graph. bf16 stays the default serving
+dtype; the lane remains for int8-friendly deployments (conv_mode
+param on Segmentation2D).
 """
 
 from __future__ import annotations
