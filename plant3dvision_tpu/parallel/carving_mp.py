@@ -693,14 +693,23 @@ def carve_sharded_hierarchical(masks, cameras, valid, origin, voxel_size,
     the byte-gather path if a parent's pixel window overflows the 32x32
     tile guarantee (scene closer to the cameras than the fine cell
     size). Pass bit-packed masks via `packed` (V, H*W/8) + `hw`=(H, W)
-    to skip the host pack (the FusedCarving ingest path)."""
+    to skip the host pack (the FusedCarving ingest path) — a
+    device-resident jax array is accepted and stays on device (padding
+    via jnp, distribution via an explicit sharded device_put), so the
+    FusedCarving 'sharded' engine never round-trips the mask stack
+    through the host."""
+    from jax.sharding import NamedSharding
+
     if packed is not None:
         H, W = hw
-        packed = np.asarray(packed)
+        dev_resident = isinstance(packed, jax.Array)
+        if not dev_resident:
+            packed = np.asarray(packed)
         V = packed.shape[0]
     else:
         masks = np.asarray(masks)
         V, H, W = masks.shape
+        dev_resident = False
     n = mesh.shape[axis]
     pad = (-V) % n
     if packed is None:
@@ -709,19 +718,23 @@ def carve_sharded_hierarchical(masks, cameras, valid, origin, voxel_size,
                 [masks, np.zeros((pad, H, W), masks.dtype)])
         packed = pack_masks(masks)
     elif pad:
-        packed = np.concatenate(
-            [packed, np.zeros((pad, packed.shape[1]), packed.dtype)])
+        xp = jnp if dev_resident else np
+        packed = xp.concatenate(
+            [packed, xp.zeros((pad, packed.shape[1]), packed.dtype)])
     if pad:
         cameras = np.concatenate(
             [cameras, np.tile(cameras[-1:], (pad, 1))])
         valid = np.concatenate([valid, np.zeros(pad, bool)])
+    # explicit view-axis distribution: device-to-device (ICI) when the
+    # source is already on a device, one host upload otherwise
+    packed = jax.device_put(packed, NamedSharding(mesh, P(axis)))
     caps = [cap, cap]
     tiles_on = bool(fine_tiles)
     while True:
         fn = make_sharded_carver(mesh, axis, H, W, V + pad, tuple(shape),
                                  caps=tuple(caps), fine_tiles=tiles_on)
         with mesh:
-            vol, counts = fn(jnp.asarray(packed), jnp.asarray(cameras),
+            vol, counts = fn(packed, jnp.asarray(cameras),
                              jnp.asarray(valid),
                              jnp.asarray(origin, jnp.float32),
                              jnp.float32(voxel_size))

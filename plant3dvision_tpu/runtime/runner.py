@@ -7,6 +7,7 @@ missing from the reference — added here as a first-class feature).
 
 from __future__ import annotations
 
+import threading
 import time
 
 from .log import configure_logger
@@ -19,17 +20,23 @@ class TaskFailure(Exception):
     pass
 
 
+def _requires_list(task) -> list:
+    """Normalize task.requires() (dict | list/tuple | single | None)
+    to a flat dependency list — the ONE place the accepted shapes are
+    defined (shared by DAG collection and the parallel scheduler)."""
+    req = task.requires()
+    deps = list(req.values()) if isinstance(req, dict) else (
+        list(req) if isinstance(req, (list, tuple)) else [req])
+    return [d for d in deps if d is not None]
+
+
 def _collect(task: BaseTask, order: list, seen: set):
     key = task.get_task_family()
     if key in seen:
         return
     seen.add(key)
-    req = task.requires()
-    deps = list(req.values()) if isinstance(req, dict) else (
-        list(req) if isinstance(req, (list, tuple)) else [req])
-    for dep in deps:
-        if dep is not None:
-            _collect(dep, order, seen)
+    for dep in _requires_list(task):
+        _collect(dep, order, seen)
     order.append(task)
 
 
@@ -182,24 +189,53 @@ def _device_mem_mb():
     return None
 
 
+#: jax.profiler allows ONE active trace per process; under workers>1 a
+#: second concurrent trace would raise and falsely fail the task, so
+#: only the first concurrently-running task gets traced.
+_profile_lock = threading.Lock()
+
+
 def _maybe_profile(task_name: str):
     """Per-task XLA profiler hook (SURVEY §5 tracing plan): when
     P3D_PROFILE=<dir> is set, each task's run() executes under
     jax.profiler.trace(<dir>/<TaskName>) — one TensorBoard-loadable
     trace per task (device timelines, HLO op breakdown, host/device
     overlap). Off (a no-op context) unless the env var is set, so the
-    hot path never imports the profiler."""
+    hot path never imports the profiler. With workers>1, tasks that
+    overlap an active trace skip profiling (logged) instead of
+    crashing on jax's one-trace-per-process limit."""
     import contextlib
     import os
 
     prof_dir = os.environ.get("P3D_PROFILE", "")
     if not prof_dir:
         return contextlib.nullcontext()
-    import jax
 
-    path = os.path.join(prof_dir, task_name)
-    os.makedirs(path, exist_ok=True)
-    return jax.profiler.trace(path)
+    @contextlib.contextmanager
+    def _traced():
+        if not _profile_lock.acquire(blocking=False):
+            logger.warning(f"{task_name}: another task's profiler trace "
+                           "is active — skipping trace for this task")
+            yield
+            return
+        try:
+            import jax
+            path = os.path.join(prof_dir, task_name)
+            os.makedirs(path, exist_ok=True)
+            with jax.profiler.trace(path):
+                yield
+        finally:
+            _profile_lock.release()
+
+    return _traced()
+
+
+#: number of tasks currently inside _execute_one — device_mem_mb is a
+#: process-global sample, so it is only attributed to a task when no
+#: other task ran concurrently with it (else a neighbour's buffers
+#: would be booked on whoever happens to finish first).
+_inflight = 0
+_inflight_lock = threading.Lock()
 
 
 def _execute_one(task):
@@ -208,6 +244,7 @@ def _execute_one(task):
     Returns (report_entry, n_tried, err) — err is None on success/skip;
     raising is left to the caller so the parallel scheduler can drain
     in-flight tasks before propagating."""
+    global _inflight
     name = task.get_task_family()
     if task.complete():
         logger.info(f"{name}: already complete, skipping")
@@ -226,34 +263,41 @@ def _execute_one(task):
     last_err = None
     status = "failed"
     n_tried = 0
-    for attempt in range(attempts):
-        n_tried = attempt + 1
-        try:
-            if attempt:
-                logger.warning(f"{name}: retry {attempt}/{attempts - 1}")
-            with _maybe_profile(name):
-                task.run()
-            if hasattr(task, "finalize"):
-                task.finalize()
-            status = "done"
-            last_err = None
-            break
-        except RetryableTaskError as e:
-            last_err = e
-            _destroy_output(task)
-            continue
-        except Exception as e:
-            last_err = e
-            _destroy_output(task)
-            break
-    dt = time.monotonic() - t0
+    with _inflight_lock:
+        _inflight += 1
+        ran_alone = _inflight == 1
+    try:
+        for attempt in range(attempts):
+            n_tried = attempt + 1
+            try:
+                if attempt:
+                    logger.warning(f"{name}: retry {attempt}/{attempts - 1}")
+                with _maybe_profile(name):
+                    task.run()
+                if hasattr(task, "finalize"):
+                    task.finalize()
+                status = "done"
+                last_err = None
+                break
+            except RetryableTaskError as e:
+                last_err = e
+                _destroy_output(task)
+                continue
+            except Exception as e:
+                last_err = e
+                _destroy_output(task)
+                break
+        dt = time.monotonic() - t0
+        mem = _device_mem_mb() if ran_alone and _inflight == 1 else None
+    finally:
+        with _inflight_lock:
+            _inflight -= 1
     out = task.output()
     entry = {
         "status": status,
         "seconds": round(dt, 3),
         "fileset": getattr(out, "fileset_id", None),
     }
-    mem = _device_mem_mb()
     if mem is not None:
         entry["device_mem_mb"] = mem
     if status == "done":
@@ -274,10 +318,7 @@ def _run_order(order, results) -> None:
 
 
 def _task_deps(task) -> set:
-    req = task.requires()
-    deps = list(req.values()) if isinstance(req, dict) else (
-        list(req) if isinstance(req, (list, tuple)) else [req])
-    return {d.get_task_family() for d in deps if d is not None}
+    return {d.get_task_family() for d in _requires_list(task)}
 
 
 def _run_order_parallel(order, results, workers: int) -> None:

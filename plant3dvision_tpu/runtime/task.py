@@ -17,6 +17,7 @@ import contextlib
 import gc
 import hashlib
 import re
+import threading
 
 from .log import configure_logger
 
@@ -263,6 +264,11 @@ def _jsonable(v):
     return v
 
 
+_gc_pause_lock = threading.Lock()
+_gc_pause_depth = 0
+_gc_was_enabled = True
+
+
 @contextlib.contextmanager
 def paused_gc():
     """Disable the cycle collector for a bulk decode/encode loop.
@@ -274,14 +280,25 @@ def paused_gc():
     decode phase inside a full-pipeline process vs a fresh one. Codec
     garbage is acyclic (plain arrays), so refcounting reclaims it; the
     collector just needs to stay out of the loop.
+
+    Process-wide refcounted (gc state is process-global): with
+    ``run_task(workers=N)`` two tasks' pause windows can overlap, and a
+    saved-bool restore would re-enable the collector under the task
+    still decoding. The last context out restores the original state.
     """
-    was = gc.isenabled()
-    gc.disable()
+    global _gc_pause_depth, _gc_was_enabled
+    with _gc_pause_lock:
+        if _gc_pause_depth == 0:
+            _gc_was_enabled = gc.isenabled()
+            gc.disable()
+        _gc_pause_depth += 1
     try:
         yield
     finally:
-        if was:
-            gc.enable()
+        with _gc_pause_lock:
+            _gc_pause_depth -= 1
+            if _gc_pause_depth == 0 and _gc_was_enabled:
+                gc.enable()
 
 
 class FileByFileTask(RomiTask):

@@ -126,7 +126,7 @@ class FusedCarving(RomiTask):
             mesh = Mesh(np.array(jax.devices()), ("dp",))
             return carve_sharded_hierarchical(
                 None, cams, valid, origin, vs, shape, mesh,
-                packed=np.asarray(packed_dev), hw=(H, W))
+                packed=packed_dev, hw=(H, W))
         from ..parallel.carving_fp import carve_fused_pairs
         return carve_fused_pairs(None, cams, valid, origin, vs, shape,
                                  packed=packed_dev, hw=(H, W))

@@ -384,3 +384,40 @@ def test_profiler_hook(ctx, tmp_path, monkeypatch):
     assert trace_dir.is_dir()
     # the profiler writes <host>.xplane.pb under plugins/profile/<ts>/
     assert list(trace_dir.rglob("*.xplane.pb"))
+
+
+def test_profiler_hook_concurrent_skips(ctx, tmp_path, monkeypatch):
+    """jax.profiler allows one trace per process: when another task's
+    trace is active (workers>1), the hook must SKIP tracing, not raise
+    and falsely fail the task."""
+    from plant3dvision_tpu.runtime import runner as runner_mod
+
+    monkeypatch.setenv("P3D_PROFILE", str(tmp_path / "prof"))
+    assert runner_mod._profile_lock.acquire(blocking=False)
+    try:
+        report = run_task(ctx, TouchFileTask, report=False)
+        assert report["TouchFileTask"]["status"] == "done"
+        # no trace was written for the skipped task
+        assert not list((tmp_path / "prof").rglob("*.xplane.pb"))
+    finally:
+        runner_mod._profile_lock.release()
+
+
+def test_paused_gc_refcounted():
+    """Overlapping paused_gc contexts (run_task workers>1): the
+    collector stays disabled until the LAST context exits — a
+    saved-bool restore would re-enable it under the still-running
+    task (the measured 2-3x codec stall, CLAUDE.md)."""
+    import gc
+
+    from plant3dvision_tpu.runtime.task import paused_gc
+
+    assert gc.isenabled()
+    a, b = paused_gc(), paused_gc()
+    a.__enter__()
+    b.__enter__()
+    assert not gc.isenabled()
+    a.__exit__(None, None, None)
+    assert not gc.isenabled(), "first exit must not re-enable gc"
+    b.__exit__(None, None, None)
+    assert gc.isenabled()
