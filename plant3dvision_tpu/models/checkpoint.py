@@ -84,6 +84,52 @@ def _upcast_f16(params):
         params)
 
 
+def training_state_to_npz_bytes(params, opt_state, meta: dict) -> bytes:
+    """Serialize a FULL training state (params + optimizer moments + loop
+    metadata) to one NPZ blob.
+
+    The reference's training resume is task-granular only (a crashed
+    romiseg run restarts from epoch 0); this gives the trainer
+    intra-run checkpoint/resume. `meta` must be JSON-serializable —
+    the trainer stores {epoch, rng_state, history} so a resumed run
+    replays the exact same batch order (see train.train)."""
+    import jax
+    from flax.traverse_util import flatten_dict
+
+    arrays = {"p/" + k: np.asarray(v)
+              for k, v in flatten_dict(params, sep="/").items()}
+    for i, leaf in enumerate(jax.tree_util.tree_leaves(opt_state)):
+        arrays[f"o/{i}"] = np.asarray(leaf)
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8)
+    buf = BytesIO()
+    np.savez_compressed(buf, **arrays)
+    return buf.getvalue()
+
+
+def training_state_from_npz_bytes(data: bytes, opt_state_template):
+    """Inverse of training_state_to_npz_bytes.
+
+    `opt_state_template` (e.g. a fresh `optimizer.init(params)`) supplies
+    the optax pytree structure — the blob stores optimizer leaves by
+    traversal index, which is stable for a fixed optimizer config.
+    Returns (params, opt_state, meta) with numpy leaves; callers re-shard
+    onto their mesh as needed."""
+    import jax
+    from flax.traverse_util import unflatten_dict
+
+    loaded = np.load(BytesIO(data), allow_pickle=False)
+    meta = json.loads(bytes(loaded["__meta__"]).decode())
+    pflat = {k[2:]: loaded[k] for k in loaded.files if k.startswith("p/")}
+    params = unflatten_dict(
+        {tuple(k.split("/")): v for k, v in pflat.items()})
+    treedef = jax.tree_util.tree_structure(opt_state_template)
+    n = treedef.num_leaves
+    opt_state = jax.tree_util.tree_unflatten(
+        treedef, [loaded[f"o/{i}"] for i in range(n)])
+    return params, opt_state, meta
+
+
 def convert_torch_state_dict(state_dict, param_template):
     """Best-effort torch->flax weight mapping for matching architectures:
     matches tensors by shape signature in traversal order (torch state

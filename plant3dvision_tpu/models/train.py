@@ -49,13 +49,25 @@ def load_dataset(scan, gt_fileset="gt_masks", labels=None, max_images=None):
 
 def train(images, labels_int, label_names, widths=(32, 64, 128),
           blocks_per_stage=1, epochs=20, batch_size=4, lr=3e-3, seed=0,
-          use_mesh=True, log_every=10):
-    """Train a ResUNet; returns (params, config, history)."""
+          use_mesh=True, log_every=10,
+          checkpoint_every=0, on_checkpoint=None, resume_state=None):
+    """Train a ResUNet; returns (params, config, history).
+
+    Intra-run checkpoint/resume (the task-level resume of the runtime is
+    fileset-granular; a long training run needs finer grain):
+    every `checkpoint_every` epochs, `on_checkpoint(state_bytes, epoch)`
+    receives the full serialized training state (params + optimizer
+    moments + epoch + numpy RNG state). Pass such a blob back as
+    `resume_state` to continue: the RNG state replays the exact same
+    batch order, so an interrupted-and-resumed run is BIT-IDENTICAL to
+    an uninterrupted one (guarded in tests/unit/test_models.py)."""
     import jax
     import jax.numpy as jnp
     import optax
 
     from . import create_unet
+    from .checkpoint import (training_state_from_npz_bytes,
+                             training_state_to_npz_bytes)
     from ..parallel import make_mesh
     from ..parallel.mesh import best_dp_tp
     from ..parallel.train import shard_params
@@ -94,12 +106,35 @@ def train(images, labels_int, label_names, widths=(32, 64, 128),
 
     history = []
     rng = np.random.default_rng(seed)
+    start_epoch = 0
     with ctx:
         if mesh is not None:
             params = shard_params(params, mesh)
         opt_state = optimizer.init(params)
+        if resume_state is not None:
+            r_params, r_opt, meta = training_state_from_npz_bytes(
+                resume_state, opt_state)
+
+            # restore onto the live templates' MESH shardings (numpy
+            # leaves otherwise force a replicated recompile); leaves with
+            # single-device shardings (e.g. the optax step count) stay
+            # uncommitted — device_put would pin them to one device and
+            # conflict with the mesh-committed params inside jit
+            def _restore_leaf(t, a):
+                arr = jnp.asarray(a)
+                sh = getattr(t, "sharding", None)
+                if isinstance(sh, jax.sharding.NamedSharding):
+                    return jax.device_put(arr, sh)
+                return arr
+
+            params = jax.tree.map(_restore_leaf, params, r_params)
+            opt_state = jax.tree.map(_restore_leaf, opt_state, r_opt)
+            rng.bit_generator.state = meta["rng_state"]
+            start_epoch = int(meta["epoch"]) + 1
+            history = list(meta.get("history", []))
+            logger.info(f"resumed training at epoch {start_epoch}")
         steps_per_epoch = max(n // batch_size, 1)
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             order = rng.permutation(n)
             for s in range(steps_per_epoch):
                 sel = order[s * batch_size:(s + 1) * batch_size]
@@ -111,6 +146,15 @@ def train(images, labels_int, label_names, widths=(32, 64, 128),
             history.append(float(loss))
             if epoch % log_every == 0 or epoch == epochs - 1:
                 logger.info(f"epoch {epoch}: loss={float(loss):.4f}")
+            if (checkpoint_every and on_checkpoint is not None
+                    and (epoch + 1) % checkpoint_every == 0
+                    and epoch + 1 < epochs):
+                meta = {"epoch": epoch,
+                        "rng_state": rng.bit_generator.state,
+                        "history": history}
+                on_checkpoint(
+                    training_state_to_npz_bytes(params, opt_state, meta),
+                    epoch)
 
     config = {"label_names": label_names, "widths": list(widths),
               "blocks_per_stage": blocks_per_stage}
@@ -123,7 +167,7 @@ def resolve_training_config(config_path, cli_args):
     configs/training_seg.toml)."""
     cfg = {"gt_fileset": "gt_masks", "epochs": 20, "batch_size": 4,
            "lr": 3e-3, "widths": "32,64,128", "model_id": "unet_seg",
-           "max_images": None}
+           "max_images": None, "checkpoint_every": None}
     if config_path:
         from ..runtime.config import load_toml
         section = dict(load_toml(config_path).get("Training", {}))
@@ -155,6 +199,12 @@ def main(argv=None):
     ap.add_argument("--widths", default=None)
     ap.add_argument("--model-id", default=None)
     ap.add_argument("--max-images", type=int, default=None)
+    ap.add_argument("--checkpoint-every", type=int, default=None,
+                    help="save full training state every N epochs into "
+                         "the models fileset; an interrupted run resumes "
+                         "from the last state automatically")
+    ap.add_argument("--fresh", action="store_true",
+                    help="ignore any existing training state")
     args = ap.parse_args(argv)
 
     cfg = resolve_training_config(args.config, vars(args))
@@ -162,6 +212,7 @@ def main(argv=None):
     args.epochs, args.batch_size = int(cfg["epochs"]), int(cfg["batch_size"])
     args.lr, args.widths = float(cfg["lr"]), str(cfg["widths"])
     args.max_images = cfg.get("max_images")
+    ckpt_every = int(cfg.get("checkpoint_every") or 0)
 
     db_path, scan_id = parse_dataset(args.dataset)
     db = FSDB(db_path)
@@ -171,12 +222,32 @@ def main(argv=None):
         scan, args.gt_fileset, max_images=args.max_images)
     logger.info(f"dataset: {images.shape}, labels {label_names}")
     widths = tuple(int(x) for x in args.widths.split(","))
-    params, config, history = train(images, labels_int, label_names,
-                                    widths=widths, epochs=args.epochs,
-                                    batch_size=args.batch_size, lr=args.lr)
+
     models_fs = scan.get_fileset("models", create=True)
+    state_id = f"{args.model_id}_trainstate"
+    resume_state = None
+    if not args.fresh:
+        sf = models_fs.get_file(state_id)
+        if sf is not None:
+            resume_state = sf.read_raw()
+            logger.info(f"found training state '{state_id}' — resuming")
+
+    def on_checkpoint(blob, epoch):
+        f = models_fs.get_file(state_id, create=True)
+        f.write_raw(blob, "npz")
+        f.set_metadata("epoch", epoch)
+        logger.info(f"checkpointed training state at epoch {epoch}")
+
+    params, config, history = train(
+        images, labels_int, label_names, widths=widths, epochs=args.epochs,
+        batch_size=args.batch_size, lr=args.lr,
+        checkpoint_every=ckpt_every,
+        on_checkpoint=on_checkpoint if ckpt_every else None,
+        resume_state=resume_state)
     f = models_fs.get_file(args.model_id, create=True)
     save_model(f, params, config)
+    if models_fs.get_file(state_id) is not None:
+        models_fs.delete_file(state_id)  # completed — state is stale now
     logger.info(f"saved model '{args.model_id}' (final loss {history[-1]:.4f})")
     db.disconnect()
     return 0

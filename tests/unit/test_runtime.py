@@ -421,3 +421,122 @@ def test_paused_gc_refcounted():
     assert not gc.isenabled(), "first exit must not re-enable gc"
     b.__exit__(None, None, None)
     assert gc.isenabled()
+
+
+class _Chaos:
+    """Module-level fault-injection switch for the chaos test below."""
+    rate = 0.0
+    rng = None
+
+
+def _chaos_digest(parts):
+    import hashlib
+    h = hashlib.sha256()
+    for p in parts:
+        h.update(p)
+    return h.hexdigest().encode()
+
+
+def _make_chaos_dag(seed=11, layers=(2, 4, 3, 1)):
+    """Layered DAG of content-producing tasks: each node writes a digest
+    of its own name + every dependency's output bytes, so the final
+    outputs are a checksum of the whole execution — any missed/stale/
+    partial upstream output changes the bytes downstream."""
+    import random
+
+    rng = random.Random(seed)
+    classes, prev = [], []
+    for li, width in enumerate(layers):
+        layer = []
+        last = li == len(layers) - 1
+        for ni in range(width):
+            if not prev:
+                deps = ()
+            elif last:
+                deps = tuple(prev)      # root pulls its whole layer
+            else:
+                deps = tuple(rng.sample(
+                    prev, rng.randint(max(1, len(prev) // 2), len(prev))))
+
+            def _requires(self, _deps=deps):
+                return [self.ctx.get_task(d) for d in _deps]
+
+            def _run(self, _deps=deps):
+                ins = []
+                for d in _deps:
+                    fs = self.ctx.scan.get_fileset(
+                        self.ctx.get_task(d).task_id())
+                    ins.extend(f.read_raw() for f in
+                               sorted(fs.get_files(), key=lambda f: f.id))
+                out = self.output_file("out")
+                if _Chaos.rng is not None and \
+                        _Chaos.rng.random() < _Chaos.rate:
+                    # simulated crash mid-write: partial bytes land, the
+                    # finalize marker never does
+                    out.write_raw(b"GARBAGE-PARTIAL", "txt")
+                    raise RuntimeError("chaos: injected crash")
+                out.write_raw(
+                    _chaos_digest([type(self).__name__.encode()] + ins),
+                    "txt")
+
+            cls = type(f"ChaosDag_L{li}N{ni}", (RomiTask,),
+                       {"requires": _requires, "run": _run})
+            layer.append(cls)
+            classes.append(cls)
+        prev = layer
+    return classes
+
+
+def test_chaos_crash_resume_converges_to_clean_result(temp_db):
+    """Fault injection (SURVEY §5: the reference has none): tasks crash
+    mid-write at random across repeated resume attempts; re-running
+    until success must converge to outputs BYTE-IDENTICAL to a
+    never-failing run — partial filesets are never trusted, completed
+    ones are never recomputed into something else."""
+    import random
+
+    classes = _make_chaos_dag()
+    root = classes[-1]
+
+    for sid in ("chaos", "clean"):
+        scan = temp_db.create_scan(sid)
+        scan.create_fileset("images").create_file(
+            "00000_rgb").write_raw(b"img", "jpg")
+
+    # clean reference run
+    _Chaos.rng = None
+    clean_ctx = RunContext(temp_db, "clean", config={})
+    assert run_task(clean_ctx, root, report=False,
+                    workers=3)[root.__name__]["status"] == "done"
+
+    # chaotic run: resume until the DAG completes
+    chaos_ctx = RunContext(temp_db, "chaos", config={})
+    _Chaos.rng = random.Random(5)
+    _Chaos.rate = 0.55
+    attempts = 0
+    while True:
+        attempts += 1
+        if attempts > 30:           # safety valve: finish deterministically
+            _Chaos.rng = None
+        try:
+            report = run_task(chaos_ctx, root, report=False, workers=3)
+            break
+        except TaskFailure:
+            continue
+        finally:
+            assert attempts < 60
+    _Chaos.rng = None
+    assert report[root.__name__]["status"] in ("done", "skipped")
+    assert attempts > 1, "chaos never fired — raise the rate"
+
+    # byte-identical convergence, task by task
+    for cls in classes:
+        tid = chaos_ctx.get_task(cls).task_id()
+        assert tid == clean_ctx.get_task(cls).task_id()
+        fs_chaos = chaos_ctx.scan.get_fileset(tid)
+        fs_clean = clean_ctx.scan.get_fileset(tid)
+        if fs_clean is None:
+            continue  # outside the root's dependency closure
+        got = {f.id: f.read_raw() for f in fs_chaos.get_files()}
+        want = {f.id: f.read_raw() for f in fs_clean.get_files()}
+        assert got == want, f"{cls.__name__} diverged after chaos resume"
