@@ -167,12 +167,20 @@ def _make_model(arch, rng_key, crop, widths, blocks_per_stage,
 def train_on_crops(rgb, lab, widths=(24, 48, 96, 192), blocks_per_stage=2,
                    steps=3000, batch_size=8, lr=3e-3, seed=0,
                    val_fraction=0.05, arch="resunet", labels=None,
-                   ignore_index=None):
+                   ignore_index=None,
+                   checkpoint_every_chunks=0, on_checkpoint=None,
+                   resume_state=None):
     """Device-resident training loop; returns (params, config, history).
 
     `labels` defaults to the synthetic-scan label set; `ignore_index`
     (e.g. 255 for distillation pseudo-labels, models/distill.py) drops
     those pixels from the loss and the validation IoU.
+
+    Chunk-level checkpoint/resume (same contract as train.train): every
+    `checkpoint_every_chunks` scan-chunks, `on_checkpoint(blob, chunk)`
+    receives the serialized training state; pass the blob back as
+    `resume_state` to continue bit-identically (the jax PRNG key rides
+    in the state, so the resumed chunk stream replays exactly).
     """
     import jax
     import jax.numpy as jnp
@@ -267,9 +275,22 @@ def train_on_crops(rgb, lab, widths=(24, 48, 96, 192), blocks_per_stage=2,
     opt_state = optimizer.init(params)
     key = jax.random.PRNGKey(seed + 1)
     history = []
+    start_chunk = 0
+    if resume_state is not None:
+        from .checkpoint import training_state_from_npz_bytes
+        r_params, r_opt, meta = training_state_from_npz_bytes(
+            resume_state, opt_state)
+        params = jax.tree.map(lambda t, a: jnp.asarray(a), params, r_params)
+        opt_state = jax.tree.map(lambda t, a: jnp.asarray(a),
+                                 opt_state, r_opt)
+        key = jnp.asarray(np.asarray(meta["prng_key"], np.uint32))
+        start_chunk = int(meta["chunk"]) + 1
+        history = list(meta.get("history", []))
+        logger.info(f"resumed training at chunk {start_chunk} "
+                    f"(step {start_chunk * STEPS_PER_CALL})")
     t0 = time.time()
     n_chunks = steps // STEPS_PER_CALL
-    for chunk in range(n_chunks):
+    for chunk in range(start_chunk, n_chunks):
         key, sub = jax.random.split(key)
         params, opt_state, loss = run_chunk(params, opt_state, sub,
                                             d_rgb, d_lab)
@@ -280,6 +301,16 @@ def train_on_crops(rgb, lab, widths=(24, 48, 96, 192), blocks_per_stage=2,
                             "seconds": round(time.time() - t0, 1)})
             logger.info(f"step {(chunk + 1) * STEPS_PER_CALL}: "
                         f"loss={loss:.4f} ({time.time() - t0:.0f} s)")
+        if (checkpoint_every_chunks and on_checkpoint is not None
+                and (chunk + 1) % checkpoint_every_chunks == 0
+                and chunk + 1 < n_chunks):
+            from .checkpoint import training_state_to_npz_bytes
+            meta = {"chunk": chunk,
+                    "prng_key": np.asarray(key).tolist(),
+                    "history": history}
+            on_checkpoint(
+                training_state_to_npz_bytes(params, opt_state, meta),
+                chunk)
     iou = np.asarray(val_metrics(params, d_vrgb, d_vlab))
     val = {labels[i]: round(float(iou[i]), 4) for i in range(n_cls)
            if iou[i] >= 0}
@@ -360,6 +391,12 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--dataset-cache", default="")
     ap.add_argument("--skip-fixture-eval", action="store_true")
+    ap.add_argument("--checkpoint-every", type=int, default=0,
+                    help="save training state every N steps (rounded to "
+                         "scan chunks) beside --out; interrupted runs "
+                         "resume from it automatically")
+    ap.add_argument("--fresh", action="store_true",
+                    help="ignore any existing training state")
     args = ap.parse_args(argv)
 
     import jax
@@ -385,10 +422,30 @@ def main(argv=None):
     widths = tuple(int(x) for x in args.widths.split(","))
     if args.arch == "tpusegnet" and args.widths == "24,48,96,192":
         widths = (128, 256, 256)    # the TPU-shaped default
+
+    state_path = Path(args.out).with_suffix(".trainstate.npz")
+    resume_state = None
+    if args.checkpoint_every and not args.fresh and state_path.exists():
+        resume_state = state_path.read_bytes()
+        logger.info(f"found training state {state_path} — resuming")
+
+    def on_checkpoint(blob, chunk):
+        tmp = state_path.with_suffix(".tmp")
+        tmp.write_bytes(blob)
+        tmp.replace(state_path)     # atomic: a kill never truncates
+        logger.info(f"checkpointed training state at chunk {chunk}")
+
+    every_chunks = max(args.checkpoint_every // STEPS_PER_CALL, 1) \
+        if args.checkpoint_every else 0
     params, config, history = train_on_crops(
         rgb, lab, widths=widths, steps=args.steps,
         batch_size=args.batch_size, lr=args.lr, seed=args.seed,
-        arch=args.arch)
+        arch=args.arch,
+        checkpoint_every_chunks=every_chunks,
+        on_checkpoint=on_checkpoint if every_chunks else None,
+        resume_state=resume_state)
+    if state_path.exists():
+        state_path.unlink()         # completed — state is stale now
     config["dataset"] = meta
 
     model, _ = _make_model(args.arch, jax.random.PRNGKey(0), args.crop,

@@ -102,3 +102,39 @@ def test_segmentation2d_shift_principal_point():
     # zero offset is a no-op
     out2 = Segmentation2D._shift_principal_point(dict(md), (0, 0))
     assert out2["colmap_camera"]["camera_model"]["params"][2] == 720.0
+
+
+def test_train_on_crops_checkpoint_resume_bit_exact():
+    """Chunk-level resume of the device-resident trainer: interrupted +
+    resumed == uninterrupted, bit for bit (params AND logged history) —
+    the state blob carries the optax moments and the jax PRNG key, so
+    the resumed chunk stream replays exactly."""
+    import jax
+    from flax.traverse_util import flatten_dict
+    from plant3dvision_tpu.models.train_synth import (STEPS_PER_CALL,
+                                                      train_on_crops)
+
+    rng = np.random.default_rng(1)
+    rgb = rng.integers(0, 255, (8, 32, 32, 3), dtype=np.uint8)
+    lab = rng.integers(0, 2, (8, 32, 32)).astype(np.uint8)
+    kw = dict(widths=(4, 8), blocks_per_stage=1,
+              steps=4 * STEPS_PER_CALL, batch_size=2,
+              labels=["background", "plant"], val_fraction=0.25)
+
+    p_full, _, h_full = train_on_crops(rgb, lab, **kw)
+
+    states = {}
+    train_on_crops(rgb, lab, checkpoint_every_chunks=2,
+                   on_checkpoint=lambda b, c: states.__setitem__(c, b),
+                   **kw)
+    assert list(states) == [1]      # after chunk 1 only (not at the end)
+
+    p_res, _, h_res = train_on_crops(rgb, lab, resume_state=states[1],
+                                     **kw)
+    ff = flatten_dict(p_full, sep="/")
+    fr = flatten_dict(p_res, sep="/")
+    assert ff.keys() == fr.keys()
+    for k in ff:
+        np.testing.assert_array_equal(np.asarray(ff[k]), np.asarray(fr[k]),
+                                      err_msg=k)
+    assert [h["loss"] for h in h_res] == [h["loss"] for h in h_full]
