@@ -402,6 +402,16 @@ class NamedFilesetExists(FilesetExists):
         return FilesetTarget(self.ctx.scan, self.fileset_id)
 
 
+class Segmentation2DGroundTruthFilesetExists(NamedFilesetExists):
+    """Named marker for a pre-existing ground-truth segmentation fileset
+    (reference romitask.task import at tasks/evaluation.py:34; default GT
+    for Segmentation2DEvaluation, reference tasks/evaluation.py:382).
+    The romitask submodule is empty upstream, so the default fileset id
+    follows the task-name convention used by the GT builder tasks."""
+
+    fileset_id = Parameter(default="Segmentation2DGroundTruth")
+
+
 class DatasetExists(BaseTask):
     scan_id = Parameter(default="")
 

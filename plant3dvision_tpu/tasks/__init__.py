@@ -27,7 +27,10 @@ from .proc3d import (  # noqa: F401
 )
 from .arabidopsis import TreeGraph, AnglesAndInternodes  # noqa: F401
 from .colmap import Colmap, TurntableCalibration  # noqa: F401
-from ..runtime.task import NamedFilesetExists  # noqa: F401
+from ..runtime.task import (  # noqa: F401
+    NamedFilesetExists,
+    Segmentation2DGroundTruthFilesetExists,
+)
 from .calibration import (  # noqa: F401
     CreateCharucoBoard,
     DetectCharuco,

@@ -168,7 +168,8 @@ class Segmentation2DEvaluation(EvaluationTask):
     (reference tasks/evaluation.py:356-396)."""
 
     upstream_task = Parameter(default="Segmentation2D")
-    ground_truth = Parameter(default="NamedFilesetExists")
+    # reference tasks/evaluation.py:382 defaults to the named GT marker
+    ground_truth = Parameter(default="Segmentation2DGroundTruthFilesetExists")
     dilation_amount = Parameter(default=0)
     labels = Parameter(default=[])
 
@@ -400,4 +401,18 @@ class AnglesAndInternodesEvaluation(EvaluationTask):
                               free_ends_eps=float(self.free_ends_eps))
         res["gt_angles"] = gt_angles
         res["pred_angles"] = pred_angles
+
+        # DTW alignment figure as a first-class QC artifact (reference
+        # tasks/evaluation.py:718-725 writes it into the output fileset)
+        try:
+            from ..visu import alignment_figure
+            outfs = self.output().get()
+            outfs.path().mkdir(parents=True, exist_ok=True)
+            fig_path = outfs.path() / "alignment_figure.png"
+            alignment_figure(res["pairs"], fig_path)
+            fig_file = outfs.get_file("alignment_figure", create=True)
+            fig_file.filename = "alignment_figure.png"
+            self.ctx.scan.store()
+        except Exception as e:  # figure is QC sugar, never fatal
+            logger.warning(f"alignment figure failed: {e}")
         return res

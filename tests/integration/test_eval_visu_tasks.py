@@ -93,3 +93,38 @@ def test_visualization_after_pipeline(viz_db):
     for fig in ("pointcloud_figure", "skeleton_figure", "sequences_figure"):
         f = fs.get_file(fig)
         assert f is not None and (fs.path() / f.filename).exists()
+
+
+def test_angles_evaluation_alignment_figure():
+    """AnglesAndInternodesEvaluation writes the DTW alignment figure into
+    its output fileset as a first-class QC artifact (reference
+    tasks/evaluation.py:718-725), alongside the JSON results."""
+    with TemporaryDB() as db:
+        scan = db.create_scan("figtest")
+        # manual ground truth (real-scan route: measures.json at scan root)
+        (scan.path()).mkdir(parents=True, exist_ok=True)
+        (scan.path() / "measures.json").write_text(json.dumps(
+            {"angles": [137.5] * 8, "internodes": [6.0] * 8}))
+        # staged upstream AnglesAndInternodes output
+        fs = scan.get_fileset("angles", create=True)
+        io.write_json(fs.get_file("AnglesAndInternodes", create=True),
+                      {"angles": [139.0] * 8, "internodes": [5.8] * 8})
+        # marker GT fileset (ImagesFilesetExists needs a non-empty 'images')
+        imgs = scan.get_fileset("images", create=True)
+        io.write_json(imgs.get_file("dummy", create=True), {})
+
+        cfg = {"AnglesAndInternodesEvaluation": {
+                   "upstream_task": "NamedFilesetExists",
+                   "ground_truth": "ImagesFilesetExists",
+                   "free_ends": 0.0},
+               "NamedFilesetExists": {"fileset_id": "angles"}}
+        ctx = RunContext(db, "figtest", cfg)
+        report = run_task(ctx, "AnglesAndInternodesEvaluation", report=False)
+
+        efs = ctx.scan.get_fileset(
+            report["AnglesAndInternodesEvaluation"]["fileset"])
+        res = json.loads(efs.get_file("AnglesAndInternodesEvaluation").read_raw())
+        assert res["mean_angle_error"] < 2.0
+        fig = efs.get_file("alignment_figure")
+        assert fig is not None
+        assert (efs.path() / fig.filename).exists()
