@@ -43,7 +43,13 @@ from .carving_hier import _build_tile_tables, _pick32, pack_masks
 
 @functools.partial(jax.jit, static_argnames=("shape", "H", "W"))
 def _average_tiled(packed, cams, valid, origin, voxel_size, v0, v1,
-                   shape, H, W):
+                   shape, H, W, poff=0, nx_total=0):
+    """`poff`/`nx_total`: grid-slab chunking support. `poff` shifts the
+    parent x index by a GLOBAL parent offset (voxel x = 4*(pi + poff) + dx,
+    exact in f32 since parent indices are small ints — bit-identical to
+    the full-grid program); `nx_total` (0 = whole grid) gates the
+    overflow count to parents whose voxels exist in the real grid, so
+    slab x-padding can't raise a spurious dense-fallback."""
     nx, ny, nz = shape
     gx, gy, gz = -(-nx // 4), -(-ny // 4), -(-nz // 4)
     P = gx * gy * gz
@@ -55,6 +61,10 @@ def _average_tiled(packed, cams, valid, origin, voxel_size, v0, v1,
     pi = jax.lax.broadcasted_iota(jnp.int32, (gx, gy, gz), 0).reshape(-1)
     pj = jax.lax.broadcasted_iota(jnp.int32, (gx, gy, gz), 1).reshape(-1)
     pk = jax.lax.broadcasted_iota(jnp.int32, (gx, gy, gz), 2).reshape(-1)
+    pi = pi + jnp.int32(poff)
+    nxt = jnp.where(jnp.int32(nx_total) > 0, jnp.int32(nx_total),
+                    jnp.int32(poff) * 4 + jnp.int32(nx))
+    par_real = pi * 4 < nxt                                    # (P,)
     offs = np.stack(np.meshgrid(*([np.arange(4)] * 3), indexing="ij"),
                     axis=-1).reshape(-1, 3).astype(np.float32)
     par = jnp.stack([pi, pj, pk], 1).astype(jnp.float32)       # (P, 3)
@@ -94,7 +104,7 @@ def _average_tiled(packed, cams, valid, origin, voxel_size, v0, v1,
         # < 32 for the shifts — only parents with in-image voxels count
         over = (((x0p.max(axis=1) + 1 - ax > 24)
                  | (y0p.max(axis=1) + 1 - ay > 24))
-                & in_img.reshape(P, 64).any(axis=1))
+                & in_img.reshape(P, 64).any(axis=1) & par_real)
         tx = jnp.right_shift(ax, 3)
         ty = jnp.right_shift(ay, 3)
         T = jnp.take(tiles, voff + ty * Wt + tx, axis=0)       # (P, 32)
@@ -146,3 +156,45 @@ def average_tiled(masks, cameras, valid, origin, voxel_size, shape,
         jnp.float32(v0), jnp.float32(v1), tuple(int(s) for s in shape),
         H, W)
     return vol, int(over)
+
+
+def average_tiled_chunked(masks, cameras, valid, origin, voxel_size, shape,
+                          v0=0.0, v1=1.0, max_slab_voxels=16 << 20):
+    """Grid-slab variant of `average_tiled` for volumes too large to
+    process as one program (VERDICT r3 #2: a 0.5 mm ML-route averaging
+    volume killed the TPU worker — the per-view temporaries scale with
+    the grid, ~15 voxel-sized f32 arrays live inside the scan body).
+
+    Slabs the x axis into 4-voxel-aligned chunks of <= `max_slab_voxels`
+    voxels, all served by ONE compiled program (equal static slab shape;
+    the last slab is x-padded and cropped on host). Each voxel's value
+    is bit-identical to the unchunked program: the slab computes
+    x = 4*(pi + poff) + dx exactly, per-view accumulation order is
+    unchanged, and only whole x-rows are partitioned. Returns
+    (volume float32, total overflow) like `average_tiled`.
+    """
+    masks = np.asarray(masks)
+    V, H, W = masks.shape
+    packed = jnp.asarray(pack_masks(masks != 0))
+    nx, ny, nz = (int(s) for s in shape)
+    per_x = ny * nz
+    sx = max(4, (max(int(max_slab_voxels), per_x) // per_x) // 4 * 4)
+    sx = min(sx, -(-nx // 4) * 4)
+    n_slabs = -(-nx // sx)
+
+    cams_j = jnp.asarray(cameras)
+    valid_j = jnp.asarray(valid)
+    origin_j = jnp.asarray(origin, jnp.float32)
+    vs_j = jnp.float32(voxel_size)
+    out = np.empty((nx, ny, nz), np.float32)
+    over_tot = 0
+    for i in range(n_slabs):
+        xs = i * sx
+        vol, over = _average_tiled(
+            packed, cams_j, valid_j, origin_j, vs_j,
+            jnp.float32(v0), jnp.float32(v1), (sx, ny, nz), H, W,
+            poff=xs // 4, nx_total=nx)
+        take = min(sx, nx - xs)
+        out[xs:xs + take] = np.asarray(vol)[:take]
+        over_tot += int(over)
+    return out, over_tot

@@ -97,11 +97,17 @@ def carve(masks, cameras, valid, origin, voxel_size, shape):
 
 
 @functools.partial(jax.jit, static_argnames=("shape",))
-def average(masks, cameras, valid, origin, voxel_size, shape):
+def average(masks, cameras, valid, origin, voxel_size, shape, x_off=0):
     """Accumulate bilinearly sampled mask values over all in-frustum views.
 
     masks: (V, H, W) float32 (already log-transformed by the caller if the
     reference 'log' mode is on). Returns float32 volume.
+
+    `x_off` shifts the x iota by a global voxel index (grid-slab
+    chunking, see `average_chunked`); the slab computes the same
+    expression as the corresponding rows of the full-grid program
+    (matching to ~1 ulp — the traced offset can change XLA's FMA
+    contraction, so not guaranteed bitwise).
     """
     V, H, W = masks.shape
     origin = jnp.asarray(origin, jnp.float32)
@@ -110,7 +116,8 @@ def average(masks, cameras, valid, origin, voxel_size, shape):
 
     def body(acc, inputs):
         mask_flat, cam, ok = inputs
-        px, py, pxi, pyi, in_img = _project(cam, origin, voxel_size, shape, W, H)
+        px, py, pxi, pyi, in_img = _project(cam, origin, voxel_size, shape, W, H,
+                                            x_off=x_off)
         x0 = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, W - 2)
         y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, H - 2)
         fx = jnp.clip(px - x0.astype(jnp.float32), 0.0, 1.0)
@@ -127,6 +134,42 @@ def average(masks, cameras, valid, origin, voxel_size, shape):
     acc0 = jnp.zeros(shape, dtype=jnp.float32)
     acc, _ = jax.lax.scan(body, acc0, (masks_flat, cameras, valid))
     return acc
+
+
+def average_chunked(masks, cameras, valid, origin, voxel_size, shape,
+                    max_slab_voxels=16 << 20):
+    """Grid-slab `average` for volumes whose per-view temporaries would
+    exceed device memory as one program (VERDICT r3 #2). The x axis is
+    split into equal static slabs (<= max_slab_voxels voxels each, one
+    compiled program for all slabs; the trailing slab is padded and
+    cropped on host). Matches `average` row for row to ~1 ulp: the slab
+    recomputes x = origin + vs*(iota + x_off) exactly and keeps the
+    per-view accumulation order (only FMA contraction may differ)."""
+    nx, ny, nz = (int(s) for s in shape)
+    per_x = ny * nz
+    sx = max(1, max(int(max_slab_voxels), per_x) // per_x)
+    sx = min(sx, nx)
+    n_slabs = -(-nx // sx)
+    masks_j = jnp.asarray(masks)
+    cams_j = jnp.asarray(cameras)
+    valid_j = jnp.asarray(valid)
+    out = np.empty((nx, ny, nz), np.float32)
+    for i in range(n_slabs):
+        xs = i * sx
+        vol = average(masks_j, cams_j, valid_j, origin, voxel_size,
+                      (sx, ny, nz), x_off=xs)
+        take = min(sx, nx - xs)
+        out[xs:xs + take] = np.asarray(vol)[:take]
+    return out
+
+
+#: averaging volumes above this many voxels go through the grid-slab
+#: chunked paths (a 0.5 mm ML-route volume as ONE program killed the TPU
+#: worker — ~15 grid-sized f32 temporaries live inside the view scan).
+#: Override with P3D_AVG_CHUNK_VOXELS.
+def _avg_chunk_voxels() -> int:
+    import os
+    return int(os.environ.get("P3D_AVG_CHUNK_VOXELS", str(24 << 20)))
 
 
 @functools.partial(jax.jit, static_argnames=("shape",))
@@ -297,10 +340,16 @@ class Backprojection:
             # serves all four bilinear taps of all 64 voxels, vs 4 flat
             # gathers per (voxel, view) in the dense scan (random gathers
             # are the v5e bottleneck; ops/averaging_tiled.py)
+            # grids above the chunk budget are slabbed along x so no
+            # single program's temporaries scale with the full volume
+            # (reference degrades with a memory warning, never a crash —
+            # cl.py:154-158; VERDICT r3 #2)
+            chunked = int(np.prod(self.shape)) > _avg_chunk_voxels()
             nz = np.unique(masks)
             nz = nz[nz != 0]
             if len(nz) <= 1:
-                from .averaging_tiled import average_tiled
+                from .averaging_tiled import (average_tiled,
+                                              average_tiled_chunked)
                 # the single nonzero value, after the same normalization
                 # the dense path applies below
                 hi = float(nz[0]) if len(nz) else 0.0
@@ -308,9 +357,15 @@ class Backprojection:
                     hi /= 255.0
                 v0, v1 = ((float(np.log(EPS)), float(np.log(EPS + hi)))
                           if self.log else (0.0, hi))
-                tvol, over = average_tiled(masks, cams, valid, self.origin,
-                                           self.voxel_size, self.shape,
-                                           v0=v0, v1=v1)
+                if chunked:
+                    tvol, over = average_tiled_chunked(
+                        masks, cams, valid, self.origin, self.voxel_size,
+                        self.shape, v0=v0, v1=v1)
+                else:
+                    tvol, over = average_tiled(masks, cams, valid,
+                                               self.origin,
+                                               self.voxel_size, self.shape,
+                                               v0=v0, v1=v1)
                 if over == 0:
                     vol = np.asarray(tvol)
                 # overflow: cameras project 4-voxel cells wider than the
@@ -324,8 +379,13 @@ class Backprojection:
                     fmasks = fmasks / 255.0
                 if self.log:
                     fmasks = np.log(EPS + fmasks)
-                vol = np.asarray(average(fmasks, cams, valid, self.origin,
-                                         self.voxel_size, self.shape))
+                if chunked:
+                    vol = average_chunked(fmasks, cams, valid, self.origin,
+                                          self.voxel_size, self.shape)
+                else:
+                    vol = np.asarray(average(fmasks, cams, valid,
+                                             self.origin,
+                                             self.voxel_size, self.shape))
             if self._values is not None:
                 vol = self._values + vol
         self._values = vol
@@ -347,7 +407,10 @@ class Backprojection:
     def process_fileset(self, fs, camera_metadata, invert=False):
         files = fs.get_files() if hasattr(fs, "get_files") else list(fs)
         if self.labels is not None:
-            result = np.zeros((len(self.labels), *self.shape), dtype=np.float64)
+            # f32: the carve/average programs produce f32 anyway; f64
+            # doubles the host footprint of production label stacks
+            # (6 labels x 0.5 mm real grid = 2.4 GB in f64)
+            result = np.zeros((len(self.labels), *self.shape), dtype=np.float32)
             for i, label in enumerate(self.labels):
                 self.clear()
                 result[i] = self.process_label(files, camera_metadata, label, invert)

@@ -105,7 +105,7 @@ class Voxels(RomiTask):
                                  bool(self.invert))
 
         if bool(self.log) and str(self.type) == "averaging":
-            vol = np.exp(vol)
+            np.exp(vol, out=vol)   # in place: the label stack is GB-scale
             vol[vol > 1] = 1.0
 
         outfile = self.output_file()

@@ -227,3 +227,38 @@ def test_fused_segmentation_carving_matches_two_stage(ml_db):
         tol = n_views * 0.5 / 255.0 + 1e-3
         assert np.abs(a - b).max() <= tol * 3, (label, np.abs(a - b).max())
         assert np.abs(a - b).mean() <= tol, (label, np.abs(a - b).mean())
+
+
+def test_fused_carving_slab_lane_matches(ml_db, monkeypatch):
+    """FusedSegmentationCarving's grid-slab lane (forced via a tiny
+    P3D_AVG_CHUNK_VOXELS, VERDICT r3 #2) reproduces the whole-grid
+    program's volumes."""
+    from plant3dvision_tpu.utils import locate_task_filesets
+    scan = ml_db.get_scan("synthetic_ml")
+    cfg = {
+        "NamedFilesetExists": {"fileset_id": "models"},
+        "FusedSegmentationCarving": {
+            "upstream_task": "ImagesFilesetExists",
+            "model_fileset": "NamedFilesetExists",
+            "query": {"channel": "rgb"},
+            "camera_metadata": "camera", "voxel_size": 2.5,
+            "Sx": 256, "Sy": 256, "batch_size": 8, "log": True},
+    }
+
+    def run():
+        ctx = RunContext(ml_db, "synthetic_ml", cfg)
+        r = run_task(ctx, "FusedSegmentationCarving", report=False)
+        fs_id = r.get("FusedSegmentationCarving", {}).get("fileset") or \
+            locate_task_filesets(scan, ["FusedSegmentationCarving"])[
+                "FusedSegmentationCarving"]
+        vols = io.read_npz(scan.get_fileset(fs_id).get_files()[0])
+        return fs_id, {k: np.array(v) for k, v in vols.items()}
+
+    fs_id, full = run()
+    scan.delete_fileset(fs_id)
+    monkeypatch.setenv("P3D_AVG_CHUNK_VOXELS", "2048")
+    _, chunked = run()
+    assert set(full) == set(chunked) == set(LABELS)
+    for label in LABELS:
+        np.testing.assert_allclose(full[label], chunked[label],
+                                   rtol=1e-6, atol=1e-6)

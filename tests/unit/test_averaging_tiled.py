@@ -101,3 +101,84 @@ def test_backprojection_uses_tiled_path(log, monkeypatch):
     tiled = run(False)
     dense = run(True)
     np.testing.assert_allclose(tiled, dense, rtol=1e-5, atol=1e-4)
+
+
+def test_chunked_tiled_bit_identical():
+    """Grid-slab tiled averaging (VERDICT r3 #2) must be BIT-identical to
+    the unchunked program — the slab recomputes global x coords exactly
+    and keeps the per-view accumulation order."""
+    from plant3dvision_tpu.ops.averaging_tiled import average_tiled_chunked
+    masks, cams, origin, voxel, shape = _workload()
+    valid = np.ones(len(masks), bool)
+    full, over_f = average_tiled(masks, cams, valid, origin, voxel, shape)
+    # 8 x-rows (2 parents) per slab -> 5 slabs incl. a padded tail
+    chunked, over_c = average_tiled_chunked(
+        masks, cams, valid, origin, voxel, shape,
+        max_slab_voxels=8 * shape[1] * shape[2])
+    assert over_f == over_c == 0
+    np.testing.assert_array_equal(np.asarray(full), chunked)
+
+
+def test_chunked_dense_matches():
+    """Grid-slab dense averaging vs the one-program dense op: same math,
+    but the traced x_off blocks the constant-folding the full program
+    gets, so XLA may contract FMAs differently — identical to ~1 ulp
+    per accumulation step (measured max 5e-6 abs on 0.03% of voxels),
+    not bitwise."""
+    from plant3dvision_tpu.ops.carving import average_chunked
+    masks, cams, origin, voxel, shape = _workload(V=4)
+    valid = np.ones(len(masks), bool)
+    fmasks = masks.astype(np.float32) / 255.0
+    full = np.asarray(average(fmasks, cams, valid, origin, voxel, shape))
+    chunked = average_chunked(fmasks, cams, valid, origin, voxel, shape,
+                              max_slab_voxels=7 * shape[1] * shape[2])
+    np.testing.assert_allclose(full, chunked, rtol=1e-5, atol=1e-5)
+
+
+def test_backprojection_chunked_threshold(monkeypatch):
+    """Backprojection routes big grids through the chunked lanes
+    (P3D_AVG_CHUNK_VOXELS) and the result matches the unchunked run."""
+    masks, cams, origin, voxel, shape = _workload(V=5)
+    masks255 = masks * np.uint8(255)
+
+    def run():
+        bp = Backprojection(shape, origin, voxel, type="averaging", log=True)
+        for m, c in zip(masks255, cams):
+            bp.process_view(c[:4], c[4:13].reshape(3, 3), c[13:16], m)
+        bp._flush()
+        return bp._values
+
+    base = run()
+    monkeypatch.setenv("P3D_AVG_CHUNK_VOXELS", "4096")  # force chunking
+    chunked = run()
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(chunked))
+
+
+def test_fused_slab_accumulate_bit_identical():
+    """accumulate_label_views_slab over slabs == the whole-grid program
+    (the FusedSegmentationCarving 0.5 mm lane, VERDICT r3 #2)."""
+    import jax.numpy as jnp
+    from plant3dvision_tpu.ops.ml_fused import (accumulate_label_views,
+                                                accumulate_label_views_slab)
+    masks, cams, origin, voxel, shape = _workload(V=4)
+    V, H, W = masks.shape
+    C = 3
+    rng = np.random.default_rng(0)
+    probs = rng.random((V, C, H, W), np.float32)
+    valid = np.ones(V, bool)
+
+    full = accumulate_label_views(
+        jnp.zeros((C, *shape), jnp.float32), jnp.asarray(probs),
+        jnp.asarray(cams), jnp.asarray(valid),
+        jnp.asarray(origin, jnp.float32), jnp.float32(voxel), shape, True)
+
+    slab_nx = 8
+    nx_pad = -(-shape[0] // slab_nx) * slab_nx
+    vol = jnp.zeros((C, nx_pad, shape[1], shape[2]), jnp.float32)
+    for s in range(nx_pad // slab_nx):
+        vol = accumulate_label_views_slab(
+            vol, jnp.asarray(probs), jnp.asarray(cams), jnp.asarray(valid),
+            jnp.asarray(origin, jnp.float32), jnp.float32(voxel),
+            s * slab_nx, slab_nx, True)
+    np.testing.assert_array_equal(np.asarray(full),
+                                  np.asarray(vol[:, :shape[0]]))
