@@ -130,40 +130,111 @@ def training_state_from_npz_bytes(data: bytes, opt_state_template):
     return params, opt_state, meta
 
 
-def convert_torch_state_dict(state_dict, param_template):
-    """Best-effort torch->flax weight mapping for matching architectures:
-    matches tensors by shape signature in traversal order (torch state
-    dicts preserve module-definition order), with a KIND gate so that
-    same-shaped bias vectors never steal norm scales ('bias' names only
-    map to flax 'bias' leaves and vice versa). Conv kernels are
-    transposed OIHW->HWIO. Returns a params pytree shaped like
-    `param_template`."""
+#: torch bookkeeping tensors that have no flax counterpart and are safe
+#: to drop silently (BatchNorm step counters)
+_TORCH_IGNORABLE = ("num_batches_tracked",)
+#: torch tensors that CARRY STATE a GroupNorm-based flax model cannot
+#: absorb — dropping them changes semantics, so strict mode refuses
+_TORCH_STATEFUL = ("running_mean", "running_var")
+
+
+def _torch_kind(tk: str, tv) -> str:
+    """Classify a torch tensor: 'bias' / 'scale' (1-D norm weight) /
+    'kernel' (conv/linear weight)."""
+    leaf = tk.rsplit(".", 1)[-1]
+    if leaf == "bias":
+        return "bias"
+    if tv.ndim <= 1:
+        return "scale"
+    return "kernel"
+
+
+def _flax_kind(k: str, tmpl) -> str:
+    leaf = k.rsplit("/", 1)[-1]
+    if leaf == "bias":
+        return "bias"
+    if leaf == "scale":
+        return "scale"
+    if np.asarray(tmpl).ndim <= 1:
+        return "scale"   # other 1-D leaves behave like norm params
+    return "kernel"
+
+
+def convert_torch_state_dict(state_dict, param_template, strict=True):
+    """Torch->flax weight mapping for matching architectures.
+
+    Contract (documented in docs/MIGRATION.md; validated by
+    tests/unit/test_models.py torch-converter tests):
+
+    - tensors match by (kind, shape) in traversal order — torch state
+      dicts preserve module-definition order (reference romiseg loads
+      `Resnet_896_896_epoch50.pt`, tasks/proc2d.py:336-351), and the
+      flax template must enumerate the same layers in the same order;
+    - KIND gate: torch '.bias' only maps to flax 'bias'; 1-D '.weight'
+      (norm scales) only to flax 'scale'; >=2-D '.weight' only to flax
+      'kernel' — same-shaped tensors of different roles can never
+      cross-map;
+    - conv kernels transpose OIHW->HWIO; linear weights transpose
+      (out,in)->(in,out) — including SQUARE matrices, where a silent
+      shape match would be numerically wrong;
+    - loud failures (`strict=True`): unmatched flax params raise, and so
+      do leftover torch tensors that carry state a flax model has no
+      slot for (BatchNorm running_mean/running_var: a GroupNorm-based
+      target can't absorb them — retrain or distill instead). Pass
+      strict=False to drop leftovers with a warning.
+
+    Returns a params pytree shaped like `param_template`.
+    """
     from flax.traverse_util import flatten_dict, unflatten_dict
 
     torch_items = [(k, np.asarray(v)) for k, v in state_dict.items()
-                   if hasattr(v, "shape")]
+                   if hasattr(v, "shape")
+                   and not k.rsplit(".", 1)[-1].startswith(_TORCH_IGNORABLE)]
     flat = flatten_dict(param_template, sep="/")
     used = set()
     out = {}
     for k, tmpl in flat.items():
         shape = tuple(np.asarray(tmpl).shape)
-        want_bias = k.rsplit("/", 1)[-1] == "bias"
+        want = _flax_kind(k, tmpl)
         found = None
         for i, (tk, tv) in enumerate(torch_items):
-            if i in used:
-                continue
-            is_bias = tk.rsplit(".", 1)[-1] == "bias"
-            if tv.ndim <= 1 and is_bias != want_bias:
+            if i in used or _torch_kind(tk, tv) != want:
                 continue
             tshape = tuple(tv.shape)
-            if tshape == shape:
+            if len(tshape) == 4:
+                # conv: only the OIHW->HWIO reading is valid
+                if (tshape[2], tshape[3], tshape[1], tshape[0]) == shape:
+                    found = (i, np.transpose(tv, (2, 3, 1, 0)))
+                    break
+            elif len(tshape) == 2 and want == "kernel":
+                # linear: torch stores (out, in); flax Dense (in, out).
+                # Always transpose — a square direct match would be wrong.
+                if tshape[::-1] == shape:
+                    found = (i, tv.T)
+                    break
+            elif tshape == shape:
                 found = (i, tv)
                 break
-            if len(tshape) == 4 and (tshape[2], tshape[3], tshape[1], tshape[0]) == shape:
-                found = (i, np.transpose(tv, (2, 3, 1, 0)))
-                break
         if found is None:
-            raise ValueError(f"No torch tensor matches param {k} {shape}")
+            raise ValueError(
+                f"No torch tensor matches param {k} kind={want} {shape}; "
+                f"unconsumed torch tensors: "
+                f"{[(tk, tuple(tv.shape)) for j, (tk, tv) in enumerate(torch_items) if j not in used][:8]}")
         used.add(found[0])
         out[k] = found[1]
+
+    leftovers = [(tk, tuple(tv.shape))
+                 for i, (tk, tv) in enumerate(torch_items) if i not in used]
+    if leftovers:
+        stateful = [t for t in leftovers
+                    if t[0].rsplit(".", 1)[-1].startswith(_TORCH_STATEFUL)]
+        if strict and stateful:
+            raise ValueError(
+                "torch checkpoint carries normalization state the target "
+                f"architecture cannot absorb: {stateful[:8]}"
+                " — the flax model normalizes differently (GroupNorm); "
+                "retrain/distill, or pass strict=False to drop it")
+        import warnings
+        warnings.warn(f"convert_torch_state_dict: dropped {len(leftovers)} "
+                      f"unmatched torch tensors, e.g. {leftovers[:4]}")
     return unflatten_dict({tuple(k.split("/")): v for k, v in out.items()})

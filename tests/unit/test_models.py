@@ -199,6 +199,52 @@ def test_torch_state_dict_converter_hermetic():
     # shape-signature matching can permute same-shaped tensors, but for
     # this architecture (distinct widths per stage) outputs must agree
     np.testing.assert_allclose(got, ref, atol=2e-4)
+    # ... and the mapping must be EXACT per leaf, not merely functionally
+    # close (VERDICT r3 #5: silent shape-matching must be impossible)
+    src = flatten_dict(params, sep="/")
+    dst = flatten_dict(conv, sep="/")
+    assert set(src) == set(dst)
+    for k in src:
+        np.testing.assert_array_equal(np.asarray(src[k]), np.asarray(dst[k]),
+                                      err_msg=k)
+
+
+def test_torch_converter_contract_violations():
+    """Loud-failure contract (VERDICT r3 #5): square linear weights are
+    transposed (never silently passed through), BatchNorm running stats
+    refuse strict conversion, bookkeeping counters are dropped, and a
+    missing tensor raises naming the param."""
+    import pytest
+    from flax.traverse_util import flatten_dict
+    from plant3dvision_tpu.models.checkpoint import convert_torch_state_dict
+
+    rng = np.random.default_rng(2)
+
+    # square linear: torch (out,in) must come back transposed
+    template = {"head": {"kernel": np.zeros((8, 8), np.float32),
+                         "bias": np.zeros((8,), np.float32)}}
+    w = rng.random((8, 8)).astype(np.float32)
+    sd = {"head.weight": w, "head.bias": np.zeros(8, np.float32),
+          "head.num_batches_tracked": np.array(7)}
+    conv = convert_torch_state_dict(sd, template)
+    np.testing.assert_array_equal(
+        flatten_dict(conv, sep="/")["head/kernel"], w.T)
+
+    # BatchNorm running stats: strict mode refuses, non-strict warns
+    sd_bn = dict(sd)
+    sd_bn["bn.running_mean"] = np.zeros(8, np.float32)
+    sd_bn["bn.running_var"] = np.ones(8, np.float32)
+    with pytest.raises(ValueError, match="running"):
+        convert_torch_state_dict(sd_bn, template)
+    with pytest.warns(UserWarning, match="dropped"):
+        convert_torch_state_dict(sd_bn, template, strict=False)
+
+    # kind gate: a same-shaped norm 'weight' cannot serve a missing bias
+    template2 = {"norm": {"scale": np.zeros((8,), np.float32),
+                          "bias": np.zeros((8,), np.float32)}}
+    with pytest.raises(ValueError, match="norm/bias"):
+        convert_torch_state_dict({"norm.weight": np.ones(8, np.float32)},
+                                 template2)
 
 
 def test_tpusegnet_forward_and_checkpoint(temp_db):
