@@ -169,12 +169,19 @@ def train_on_crops(rgb, lab, widths=(24, 48, 96, 192), blocks_per_stage=2,
                    val_fraction=0.05, arch="resunet", labels=None,
                    ignore_index=None,
                    checkpoint_every_chunks=0, on_checkpoint=None,
-                   resume_state=None):
+                   resume_state=None, use_mesh="auto"):
     """Device-resident training loop; returns (params, config, history).
 
     `labels` defaults to the synthetic-scan label set; `ignore_index`
     (e.g. 255 for distillation pseudo-labels, models/distill.py) drops
     those pixels from the loss and the validation IoU.
+
+    `use_mesh` ("auto"/True/False): on multi-device hosts the flagship
+    trainer runs the SAME dp x tp sharding policy as parallel/train.py
+    (VERDICT r3 #7 — one training code path): params tp-sharded via
+    `parallel.train.shard_params`, the per-step batch dp-sharded via a
+    sharding constraint, XLA inserts the gradient psum. Single device
+    (the one-chip TPU box) compiles the identical program unsharded.
 
     Chunk-level checkpoint/resume (same contract as train.train): every
     `checkpoint_every_chunks` scan-chunks, `on_checkpoint(blob, chunk)`
@@ -214,13 +221,38 @@ def train_on_crops(rgb, lab, widths=(24, 48, 96, 192), blocks_per_stage=2,
     optimizer = optax.chain(optax.clip_by_global_norm(1.0),
                             optax.adamw(sched, weight_decay=1e-4))
 
+    # dp x tp mesh (shared policy with parallel/train.py) on multi-device
+    # hosts; the data sharding constraint needs batch % dp == 0
+    devices = jax.devices()
+    if use_mesh == "auto":
+        use_mesh = len(devices) > 1
+    mesh = None
+    batch_spec = None
+    if use_mesh and len(devices) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel import make_mesh
+        from ..parallel.mesh import best_dp_tp
+        from ..parallel.train import shard_params
+        mesh = make_mesh(best_dp_tp(len(devices)))
+        dp = mesh.shape["dp"]
+        if batch_size % dp != 0:
+            batch_size = -(-batch_size // dp) * dp
+            logger.info(f"batch_size rounded to {batch_size} "
+                        f"(multiple of dp={dp})")
+        params = shard_params(params, mesh)
+        batch_spec = NamedSharding(mesh, P("dp"))
+        replicated = NamedSharding(mesh, P())
+        logger.info(f"sharded trainer: mesh {dict(mesh.shape)}")
+
     # device-resident dataset, uploaded ONCE and passed as jit ARGUMENTS:
     # closing over it would embed 325 MB as HLO constants, which the
     # remote-compile relay rejects with HTTP 413 (CLAUDE.md gotcha)
-    d_rgb = jax.device_put(rgb[train_idx])
-    d_lab = jax.device_put(lab[train_idx].astype(np.int32))
-    d_vrgb = jax.device_put(rgb[val_idx])
-    d_vlab = jax.device_put(lab[val_idx].astype(np.int32))
+    _put = (lambda a: jax.device_put(a, replicated)) if mesh is not None \
+        else jax.device_put
+    d_rgb = _put(rgb[train_idx])
+    d_lab = _put(lab[train_idx].astype(np.int32))
+    d_vrgb = _put(rgb[val_idx])
+    d_vlab = _put(lab[val_idx].astype(np.int32))
 
     def loss_fn(p, x, y, key):
         import optax as _optax
@@ -246,6 +278,10 @@ def train_on_crops(rgb, lab, widths=(24, 48, 96, 192), blocks_per_stage=2,
                                      data_rgb.shape[0])
             x = data_rgb[idx]
             y = data_lab[idx]
+            if batch_spec is not None:
+                # dp-shard the gathered batch; XLA then psums gradients
+                x = jax.lax.with_sharding_constraint(x, batch_spec)
+                y = jax.lax.with_sharding_constraint(y, batch_spec)
             flip = jax.random.bernoulli(k_flip, 0.5)
             x = jnp.where(flip, x[:, :, ::-1], x)
             y = jnp.where(flip, y[:, :, ::-1], y)
@@ -280,9 +316,24 @@ def train_on_crops(rgb, lab, widths=(24, 48, 96, 192), blocks_per_stage=2,
         from .checkpoint import training_state_from_npz_bytes
         r_params, r_opt, meta = training_state_from_npz_bytes(
             resume_state, opt_state)
-        params = jax.tree.map(lambda t, a: jnp.asarray(a), params, r_params)
-        opt_state = jax.tree.map(lambda t, a: jnp.asarray(a),
-                                 opt_state, r_opt)
+        # restore onto the live templates' shardings (numpy leaves would
+        # otherwise land single-device and force a resharding recompile);
+        # single-device template leaves (the optax step-count scalar,
+        # created by optimizer.init outside the mesh) go replicated, or
+        # jit would see a mixed device set
+        if mesh is not None:
+            n_mesh = mesh.devices.size
+
+            def _restore(t, a):
+                sh = t.sharding
+                if len(sh.device_set) < n_mesh:
+                    sh = replicated
+                return jax.device_put(jnp.asarray(a), sh)
+        else:
+            def _restore(t, a):
+                return jnp.asarray(a)
+        params = jax.tree.map(_restore, params, r_params)
+        opt_state = jax.tree.map(_restore, opt_state, r_opt)
         key = jnp.asarray(np.asarray(meta["prng_key"], np.uint32))
         start_chunk = int(meta["chunk"]) + 1
         history = list(meta.get("history", []))
