@@ -167,6 +167,11 @@ class CurveSkeleton(RomiTask):
       voxel grid (ops.eikonal), distance-bin clustering of occupied voxels
       (the productionized version of the reference's experimental
       geodesics.py:15-77).
+    - method="mcf": mean-curvature-flow contraction of the MESH (the
+      reference's primary method — romicgal/CGAL
+      Mean_curvature_flow_skeletonization, proc3d.py:156) — native C++
+      (native/geometry.cpp p3d_mcf_contract + native/mcf.py collapse).
+      Set upstream_task to a mesh producer (TriangleMesh).
     """
 
     upstream_task = Parameter(default="PointCloud")
@@ -175,10 +180,24 @@ class CurveSkeleton(RomiTask):
     k = Parameter(default=10)
     stem_axis = Parameter(default=2)
     stem_axis_inverted = Parameter(default=False)
+    #: mcf-only knobs: contraction rounds / spur-prune length (defaults
+    #: to bin_size, the node-spacing analogue of the graph method)
+    mcf_iterations = Parameter(default=12)
+    min_branch = Parameter(default=0.0)
 
     def run(self):
         if str(self.method) == "fim":
             centers, lines = self._skeleton_fim()
+        elif str(self.method) == "mcf":
+            from ..native.mcf import skeletonize_mesh
+            mesh = io.read_triangle_mesh(self.input_file())
+            centers, lines = skeletonize_mesh(
+                mesh.vertices, mesh.triangles,
+                iterations=int(self.mcf_iterations),
+                bin_size=float(self.bin_size),
+                stem_axis=int(self.stem_axis),
+                stem_axis_inverted=bool(self.stem_axis_inverted),
+                min_branch=float(self.min_branch))
         else:
             obj = io.read_point_cloud(self.input_file())
             points = obj.points if hasattr(obj, "points") else obj.vertices
