@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-STEPS = 32
+STEPS = 256
 
 
 def timed(fn, *args, reps=3):
@@ -139,7 +139,7 @@ def main():
     print("gather 4KB", out["gather_4KB_Mps"], "M/s", flush=True)
     out["row_gather_128B_Mps"] = round(row_gather_rate(), 1)
     print("row gather", out["row_gather_128B_Mps"], "Mrows/s", flush=True)
-    for B in (1024, 4096, 8192):
+    for B in (1024, 4096):
         r = onehot_matmul_gather(B)
         if r is not None:
             out[f"onehot_B{B}_Mps"] = round(r, 1)
