@@ -88,14 +88,10 @@ def _top_dense(cams, valid, pyr, level_off, level_w, origin,
         c = jnp.take(pyr_v, i00)
         return fin & ((c & 1) == 0), fin & (c >= 2), out
 
-    # chunked view map (see parallel.carving_mp._view_batch): a FULL
-    # vmap over hundreds of views materializes (V, M, 8, 3) floats (OOM
-    # at 300-view scans); a batch of ~10 bounds temporaries while
-    # cutting the per-view kernel-launch count 10x
-    from ..parallel.carving_mp import _view_batch
+    # lax.map: per-view temporaries stay O(M); a vmap over hundreds of
+    # views materializes (V, M, 8, 3) floats (OOM at 300-view scans)
     kill, hit, out = jax.lax.map(
-        lambda xs: one_view(*xs), (cams, pyr),
-        batch_size=_view_batch())                           # (V, M) each
+        lambda xs: one_view(*xs), (cams, pyr))              # (V, M) each
     kill = kill & valid[:, None]
     hit = hit & valid[:, None]
     no_eff = out | ~valid[:, None]

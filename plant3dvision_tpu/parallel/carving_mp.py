@@ -40,23 +40,6 @@ logger = configure_logger(__name__)
 _build_local_pyramids = _dilated_pyramids_core
 
 
-
-def _view_batch() -> int:
-    """Views per fused kernel in the per-view maps (lax.map batch_size).
-
-    The roofline analysis (docs/CARVE_CEILING.md round 4) showed the
-    fused carve runs ~5-6x above its memory-system floor: a 60-step
-    sequential view map across 4-5 levels issues hundreds of small
-    dependent kernels whose launch latency dominates. Batching B views
-    per kernel divides the launch count by B at the cost of B x the
-    per-view temporaries (~60-100 MB per chunk at the bench workload's
-    M; the OLD all-views vmap OOMed at north-star scale, which is why
-    this is a bounded chunk, not a full vmap). Override with
-    P3D_VIEW_BATCH; 1 restores the round-3 sequential behavior.
-    """
-    import os
-    return max(1, int(os.environ.get("P3D_VIEW_BATCH", "10")))
-
 def _classify_local(cells_f, cams, valid, pyr, level_off, level_w,
                     origin, s_world, H, W, n_levels):
     """(kill, hit, undec) over (V_local, M) for float cell coords.
@@ -88,12 +71,11 @@ def _classify_local(cells_f, cams, valid, pyr, level_off, level_w,
         c = jnp.take(pyr_v, i00)
         return fin & ((c & 1) == 0), fin & (c >= 2), out
 
-    # chunked view map: batch_size views per fused kernel (launch-count
-    # / temporary-memory tradeoff, see _view_batch; a FULL vmap over
+    # lax.map (not vmap): per-view temporaries are O(M) — a vmap over
     # hundreds of views materializes (V, M, 8, 3) floats and OOMs at
-    # north-star scale — 300 views x 4M fine-pass points = 14 GB)
+    # north-star scale (300 views x 4M fine-pass points = 14 GB)
     kill, hit, out = jax.lax.map(
-        lambda xs: one_view(*xs), (cams, pyr), batch_size=_view_batch())
+        lambda xs: one_view(*xs), (cams, pyr))
     kill = kill & valid[:, None]
     hit = hit & valid[:, None]
     no_eff = out | ~valid[:, None]
@@ -248,8 +230,7 @@ def _exact_tiles(pts_p, cams, valid, tiles, Ht, Wt, H, W):
 
     voffs = jnp.arange(cams.shape[0], dtype=jnp.int32) * (Ht * Wt)
     kill, hit, over = jax.lax.map(
-        lambda xs: one_view(xs), (cams, valid, voffs),
-        batch_size=_view_batch())
+        lambda xs: one_view(xs), (cams, valid, voffs))
     return kill, hit, over
 
 
@@ -313,8 +294,7 @@ def _exact_local(pts, cams, valid, masks_packed, H, W):
         return in_img & ~m, in_img & m
 
     kill, hit = jax.lax.map(
-        lambda xs: one_view(*xs), (cams, valid, masks_packed),
-        batch_size=_view_batch())
+        lambda xs: one_view(*xs), (cams, valid, masks_packed))
     return kill, hit
 
 
