@@ -191,7 +191,8 @@ def main():
                                 "carve_throughput_fixture",
                                 caps=(16384, 65536), cap_blocks=32768)
         if "--save" in sys.argv:
-            Path("BENCH_FIXTURE.json").write_text(json.dumps({
+            report = Path(__file__).resolve().parent / "BENCH_FIXTURE.json"
+            report.write_text(json.dumps({
                 "metric": "carve_throughput_fixture",
                 "value": round(mvvs, 1), "unit": "Mvoxel-view/s",
                 "vs_baseline": round(mvvs / BASELINE_MVVS, 2),

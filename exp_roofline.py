@@ -105,13 +105,12 @@ def row_gather_rate(n_rows=1024 * 1024, row_words=32, table_rows=65536):
 def onehot_matmul_gather(B, n_lookups=1024 * 1024):
     """Gather as one-hot matmul: (N, B) bf16 one-hot x (B,) table values
     on the MXU. Effective lookups/s for table size B bytes."""
+    if B > 8192:
+        return None
     table = jnp.asarray(np.random.rand(B).astype(np.float32))
     idx = np.random.randint(0, B, n_lookups, np.int32)
     onehot = jnp.asarray(
-        (idx[:, None] == np.arange(B)[None, :]).astype(np.dtype("bfloat16"))
-        if B <= 8192 else None)
-    if onehot is None:
-        return None
+        (idx[:, None] == np.arange(B)[None, :]).astype(np.dtype("bfloat16")))
 
     tb = table.astype(jnp.bfloat16)
 

@@ -201,9 +201,9 @@ def collapse_to_skeleton(contracted, triangles, eps, min_branch=0.0,
         if ra == rb:
             continue
         cur = float(np.linalg.norm(pos[ra] - pos[rb]))
-        if cur > d + 1e-12:          # stale entry: re-queue at true length
-            heapq.heappush(heap, (cur, ra, rb))
-            continue
+        if abs(cur - d) > 1e-12:     # stale entry (endpoints moved either
+            heapq.heappush(heap, (cur, ra, rb))  # way): re-queue at true
+            continue                 # length so collapses stay shortest-first
         shared = faces_of[ra] & faces_of[rb]
         if not any(face_alive(fi) for fi in shared):
             continue                 # pure curve edge: keep
