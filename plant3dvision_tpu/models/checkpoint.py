@@ -50,12 +50,71 @@ def save_model(file, params, config: dict):
 def load_model(file):
     """Returns (model, params, config) from an fsdb File.
 
+    Native checkpoints are NPZ. A torch `.pt`/`.pth` file (the
+    reference's model format, tasks/proc2d.py:336-351) is ingested via
+    `load_torch_model`: BatchNorm running stats are folded into a
+    `norm="affine"` model, other layouts convert directly.
+
     Checkpoints may be stored float16 (train_synth saves them halved);
     params are upcast to float32 here — the model casts to bfloat16
     internally for the MXU path."""
-    params, config = params_from_npz_bytes(file.read_raw())
+    fname = getattr(file, "filename", "") or ""
+    data = file.read_raw()
+    if fname.endswith((".pt", ".pth")):
+        config = dict(file.get_metadata("model_config") or {})
+        if not config.get("label_names"):
+            config["label_names"] = file.get_metadata("label_names")
+        return load_torch_model(_torch_bytes_to_state_dict(data), config)
+    params, config = params_from_npz_bytes(data)
     params = _upcast_f16(params)
     return model_from_config(config), params, config
+
+
+def _torch_bytes_to_state_dict(data: bytes):
+    import torch
+    buf = BytesIO(data)
+    try:
+        obj = torch.load(buf, map_location="cpu", weights_only=True)
+    except Exception:
+        # full pickled module / legacy format — the reference's own
+        # torch.load path (executes the pickle, same trust model)
+        buf.seek(0)
+        obj = torch.load(buf, map_location="cpu", weights_only=False)
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    if isinstance(obj, dict):
+        for key in ("state_dict", "model_state_dict", "model"):
+            inner = obj.get(key)
+            if isinstance(inner, dict) and inner and all(
+                    hasattr(v, "shape") for v in inner.values()):
+                obj = inner
+                break
+    return {k: np.asarray(v) for k, v in obj.items()
+            if hasattr(v, "shape")}
+
+
+def load_torch_model(state_dict, config: dict):
+    """Build a flax model + params from a torch state_dict of a MATCHING
+    architecture (converter contract below). BatchNorm checkpoints are
+    folded into a `norm="affine"` model (VERDICT r4 #4: the reference's
+    published romiseg checkpoint era is BatchNorm); numeric equality vs
+    torch eval mode is guarded in tests/unit/test_models.py."""
+    import jax
+    import jax.numpy as jnp
+
+    has_bn = any(k.endswith(".running_mean") for k in state_dict)
+    cfg = dict(config)
+    if has_bn:
+        cfg["norm"] = "affine"
+    model = model_from_config(cfg)
+    # real init, NOT jax.eval_shape — and no jax.tree.map afterwards:
+    # JAX tree flatten/unflatten rebuilds dicts SORTED, but the converter
+    # contract matches tensors in module-definition order, which only
+    # the eagerly-built init tree preserves
+    template = model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 32, 32, 3), jnp.float32))
+    params = convert_torch_state_dict(state_dict, template, fold_bn=has_bn)
+    return model, params, cfg
 
 
 def model_from_config(config: dict):
@@ -74,7 +133,8 @@ def model_from_config(config: dict):
     return ResUNet(
         n_classes=len(labels),
         widths=tuple(config.get("widths", (64, 128, 256, 512))),
-        blocks_per_stage=int(config.get("blocks_per_stage", 2)))
+        blocks_per_stage=int(config.get("blocks_per_stage", 2)),
+        norm=config.get("norm", "group"))
 
 
 def _upcast_f16(params):
@@ -160,7 +220,56 @@ def _flax_kind(k: str, tmpl) -> str:
     return "kernel"
 
 
-def convert_torch_state_dict(state_dict, param_template, strict=True):
+def fold_batchnorm(state_dict, eps: float = 1e-5):
+    """Fold torch BatchNorm running statistics into inference affines.
+
+    At inference a BatchNorm is y = gamma*(x-mean)/sqrt(var+eps) + beta,
+    i.e. a pure per-channel affine with scale' = gamma/sqrt(var+eps) and
+    bias' = beta - mean*scale'. For every `<p>.running_mean` /
+    `<p>.running_var` pair this replaces `<p>.weight` / `<p>.bias` with
+    the folded values (synthesizing gamma=1 / beta=0 for affine=False
+    BatchNorms) and drops the running stats + step counters. Key order
+    is preserved (the converter matches in traversal order).
+
+    The folded dict maps onto a `norm="affine"` model
+    (models/unet.ChannelAffine) — NOT onto GroupNorm slots, which would
+    still normalize at apply time. `eps` must match the torch module's
+    (torch.nn.BatchNorm2d default 1e-5). Numeric equality vs torch eval
+    mode is asserted in tests/unit/test_models.py.
+    Reference entry point this unlocks: romiseg's BatchNorm-era
+    `Resnet_896_896_epoch50.pt` (reference tasks/proc2d.py:336-351,
+    get_model.sh:10-12)."""
+    prefixes = {k[: -len(".running_mean")] for k in state_dict
+                if k.endswith(".running_mean")}
+    out = {}
+    for k, v in state_dict.items():
+        p, _, leaf = k.rpartition(".")
+        if p in prefixes:
+            if leaf == "running_mean":      # anchor: emit the folded pair
+                mean = np.asarray(state_dict[f"{p}.running_mean"],
+                                  np.float32)
+                var = np.asarray(state_dict[f"{p}.running_var"], np.float32)
+                gamma = (np.asarray(state_dict[f"{p}.weight"], np.float32)
+                         if f"{p}.weight" in state_dict
+                         else np.ones_like(mean))
+                beta = (np.asarray(state_dict[f"{p}.bias"], np.float32)
+                        if f"{p}.bias" in state_dict
+                        else np.zeros_like(mean))
+                scale = gamma / np.sqrt(var + eps)
+                out[f"{p}.weight"] = scale
+                out[f"{p}.bias"] = beta - mean * scale
+            elif leaf in ("weight", "bias", "running_var",
+                          "num_batches_tracked"):
+                continue                     # consumed by the fold
+            else:
+                out[k] = v
+        else:
+            out[k] = v
+    return out
+
+
+def convert_torch_state_dict(state_dict, param_template, strict=True,
+                             fold_bn=False, bn_eps=1e-5):
     """Torch->flax weight mapping for matching architectures.
 
     Contract (documented in docs/MIGRATION.md; validated by
@@ -180,13 +289,17 @@ def convert_torch_state_dict(state_dict, param_template, strict=True):
     - loud failures (`strict=True`): unmatched flax params raise, and so
       do leftover torch tensors that carry state a flax model has no
       slot for (BatchNorm running_mean/running_var: a GroupNorm-based
-      target can't absorb them — retrain or distill instead). Pass
-      strict=False to drop leftovers with a warning.
+      target can't absorb them). Pass `fold_bn=True` with a
+      `norm="affine"` template to fold the running stats into inference
+      affines (`fold_batchnorm`), or strict=False to drop leftovers
+      with a warning.
 
     Returns a params pytree shaped like `param_template`.
     """
     from flax.traverse_util import flatten_dict, unflatten_dict
 
+    if fold_bn:
+        state_dict = fold_batchnorm(state_dict, eps=bn_eps)
     torch_items = [(k, np.asarray(v)) for k, v in state_dict.items()
                    if hasattr(v, "shape")
                    and not k.rsplit(".", 1)[-1].startswith(_TORCH_IGNORABLE)]
@@ -233,7 +346,8 @@ def convert_torch_state_dict(state_dict, param_template, strict=True):
                 "torch checkpoint carries normalization state the target "
                 f"architecture cannot absorb: {stateful[:8]}"
                 " — the flax model normalizes differently (GroupNorm); "
-                "retrain/distill, or pass strict=False to drop it")
+                "pass fold_bn=True with a norm='affine' template (see "
+                "load_torch_model), or strict=False to drop it")
         import warnings
         warnings.warn(f"convert_torch_state_dict: dropped {len(leftovers)} "
                       f"unmatched torch tensors, e.g. {leftovers[:4]}")

@@ -27,9 +27,36 @@ def _gn(features: int) -> int:
 SEGMENTATION_LABELS = ["background", "flower", "fruit", "leaf", "pedicel", "stem"]
 
 
+class ChannelAffine(nn.Module):
+    """Per-channel y = x * scale + bias — the inference-time form of a
+    folded BatchNorm (gamma/sqrt(var+eps), beta - mean*that). Same param
+    names/shapes as GroupNorm (scale, bias) so checkpoints share one
+    layout; only the apply semantics differ (no statistics are taken).
+    Used by `norm="affine"` models that ingest torch BatchNorm
+    checkpoints (reference romiseg loads Resnet_896_896_epoch50.pt,
+    tasks/proc2d.py:336-351; see models/checkpoint.fold_batchnorm)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        return x.astype(jnp.float32) * scale + bias
+
+
+def _make_norm(norm: str, features: int):
+    if norm == "affine":
+        return ChannelAffine(features)
+    return nn.GroupNorm(num_groups=_gn(features), dtype=jnp.float32)
+
+
 class ConvBlock(nn.Module):
     features: int
     dtype: jnp.dtype = jnp.bfloat16
+    norm: str = "group"
     #: optional lax.conv_general_dilated replacement for the compute
     #: convs (models/quant.int8_conv_general_dilated for the int8 lane)
     conv_impl: Any = None
@@ -38,11 +65,11 @@ class ConvBlock(nn.Module):
     def __call__(self, x):
         h = nn.Conv(self.features, (3, 3), dtype=self.dtype, padding="SAME",
                     conv_general_dilated=self.conv_impl)(x)
-        h = nn.GroupNorm(num_groups=_gn(self.features), dtype=jnp.float32)(h)
+        h = _make_norm(self.norm, self.features)(h)
         h = nn.relu(h)
         h = nn.Conv(self.features, (3, 3), dtype=self.dtype, padding="SAME",
                     conv_general_dilated=self.conv_impl)(h)
-        h = nn.GroupNorm(num_groups=_gn(self.features), dtype=jnp.float32)(h)
+        h = _make_norm(self.norm, self.features)(h)
         return nn.relu(h)
 
 
@@ -50,6 +77,7 @@ class ResBlock(nn.Module):
     features: int
     stride: int = 1
     dtype: jnp.dtype = jnp.bfloat16
+    norm: str = "group"
     conv_impl: Any = None
 
     @nn.compact
@@ -57,11 +85,11 @@ class ResBlock(nn.Module):
         h = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
                     dtype=self.dtype, padding="SAME",
                     conv_general_dilated=self.conv_impl)(x)
-        h = nn.GroupNorm(num_groups=_gn(self.features), dtype=jnp.float32)(h)
+        h = _make_norm(self.norm, self.features)(h)
         h = nn.relu(h)
         h = nn.Conv(self.features, (3, 3), dtype=self.dtype, padding="SAME",
                     conv_general_dilated=self.conv_impl)(h)
-        h = nn.GroupNorm(num_groups=_gn(self.features), dtype=jnp.float32)(h)
+        h = _make_norm(self.norm, self.features)(h)
         if x.shape[-1] != self.features or self.stride != 1:
             x = nn.Conv(self.features, (1, 1), strides=(self.stride, self.stride),
                         dtype=self.dtype, padding="SAME",
@@ -76,6 +104,10 @@ class ResUNet(nn.Module):
     widths: Sequence[int] = (64, 128, 256, 512)
     blocks_per_stage: int = 2
     dtype: jnp.dtype = jnp.bfloat16
+    #: "group" (default, trainable/shardable) or "affine" (pure
+    #: per-channel scale+bias — the landing slot for folded torch
+    #: BatchNorm checkpoints, models/checkpoint.fold_batchnorm)
+    norm: str = "group"
     #: optional conv replacement for every compute conv (the int8
     #: serving lane, models/quant.py); the float32 logits head is
     #: always exact. None = stock lax conv. Not a checkpointed value —
@@ -88,16 +120,17 @@ class ResUNet(nn.Module):
         h = x.astype(self.dtype)
         h = nn.Conv(self.widths[0], (7, 7), strides=(2, 2), dtype=self.dtype,
                     padding="SAME", conv_general_dilated=self.conv_impl)(h)
-        h = nn.GroupNorm(num_groups=_gn(self.widths[0]), dtype=jnp.float32)(h)
+        h = _make_norm(self.norm, self.widths[0])(h)
         h = nn.relu(h)
 
         skips = [h]
         for i, w in enumerate(self.widths):
             stride = 2 if i > 0 else 1
             h = ResBlock(w, stride=stride, dtype=self.dtype,
-                         conv_impl=self.conv_impl)(h)
+                         norm=self.norm, conv_impl=self.conv_impl)(h)
             for _ in range(self.blocks_per_stage - 1):
-                h = ResBlock(w, dtype=self.dtype, conv_impl=self.conv_impl)(h)
+                h = ResBlock(w, dtype=self.dtype, norm=self.norm,
+                             conv_impl=self.conv_impl)(h)
             skips.append(h)
 
         # decoder
@@ -107,13 +140,13 @@ class ResUNet(nn.Module):
             h = jax.image.resize(h, (h.shape[0], target[1], target[2], h.shape[3]),
                                  method="bilinear").astype(self.dtype)
             h = jnp.concatenate([h, skip.astype(self.dtype)], axis=-1)
-            h = ConvBlock(target[3], dtype=self.dtype,
+            h = ConvBlock(target[3], dtype=self.dtype, norm=self.norm,
                           conv_impl=self.conv_impl)(h)
 
         # final upsample to input resolution
         h = jax.image.resize(h, (x.shape[0], x.shape[1], x.shape[2], h.shape[3]),
                              method="bilinear").astype(self.dtype)
-        h = ConvBlock(self.widths[0] // 2, dtype=self.dtype,
+        h = ConvBlock(self.widths[0] // 2, dtype=self.dtype, norm=self.norm,
                       conv_impl=self.conv_impl)(h)
         logits = nn.Conv(self.n_classes, (1, 1), dtype=jnp.float32)(h)
         return logits.astype(jnp.float32)

@@ -380,3 +380,136 @@ def test_training_resume_under_mesh():
     p_res, _, hist = train(images, labels, names,
                            resume_state=states[1], **kw)
     assert len(hist) == 3 and np.isfinite(hist[-1])
+
+
+def test_batchnorm_fold_matches_torch_eval():
+    """VERDICT r4 #4: a torch Conv/BatchNorm net in eval mode and the
+    flax `norm="affine"` mirror loaded via convert_torch_state_dict(
+    fold_bn=True) must agree numerically — the running stats fold into
+    per-channel affines exactly (gamma/sqrt(var+eps), beta-mean*scale).
+    Convs are bias-free as in the reference's ResNet backbone (romiseg
+    loads torchvision-style weights, tasks/proc2d.py:336-351)."""
+    import torch
+    import flax.linen as nn
+    from plant3dvision_tpu.models.checkpoint import convert_torch_state_dict
+    from plant3dvision_tpu.models.unet import ChannelAffine
+
+    torch.manual_seed(0)
+    net = torch.nn.Sequential(
+        torch.nn.Conv2d(3, 8, 3, padding=1, bias=False),
+        torch.nn.BatchNorm2d(8),
+        torch.nn.ReLU(),
+        torch.nn.Conv2d(8, 4, 3, padding=1, bias=False),
+        torch.nn.BatchNorm2d(4),
+    )
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.weight.copy_(torch.rand_like(m.weight) + 0.5)
+                m.bias.copy_(torch.randn_like(m.bias))
+                m.running_mean.copy_(torch.randn_like(m.running_mean))
+                m.running_var.copy_(torch.rand_like(m.running_var) + 0.3)
+    net.eval()
+
+    class Mirror(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            h = nn.Conv(8, (3, 3), padding="SAME", use_bias=False,
+                        dtype=jnp.float32)(x)
+            h = ChannelAffine(8)(h)
+            h = nn.relu(h)
+            h = nn.Conv(4, (3, 3), padding="SAME", use_bias=False,
+                        dtype=jnp.float32)(h)
+            return ChannelAffine(4)(h)
+
+    mirror = Mirror()
+    template = mirror.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 16, 16, 3), jnp.float32))
+    sd = {k: v.numpy() for k, v in net.state_dict().items()}
+    params = convert_torch_state_dict(sd, template, fold_bn=True)
+
+    x = np.random.default_rng(3).random((2, 16, 16, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    got = mirror.apply(params, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got),
+                               ref.numpy().transpose(0, 2, 3, 1),
+                               atol=1e-5)
+
+
+def test_load_model_torch_pt_batchnorm(temp_db):
+    """A torch `.pt` checkpoint WITH BatchNorm running stats loads through
+    models fileset -> load_model: the loader folds the stats, builds a
+    norm='affine' ResUNet, and serves through segmentation_inference
+    (reference model format, tasks/proc2d.py:336-351 + get_model.sh)."""
+    import torch
+    from io import BytesIO
+    from flax.traverse_util import flatten_dict
+    from plant3dvision_tpu.models.checkpoint import load_model
+    from plant3dvision_tpu.models.unet import ResUNet, segmentation_inference
+
+    labels = ["background", "stem", "fruit"]
+    model = ResUNet(n_classes=3, widths=(8, 16), blocks_per_stage=1,
+                    norm="affine")
+    template = model.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 32, 32, 3), jnp.float32))
+
+    # synthesize the torch state dict in template traversal order (the
+    # converter contract); every affine (scale, bias) pair becomes a BN
+    # quadruple whose FOLD equals known (scale, bias) targets
+    rng = np.random.default_rng(7)
+    eps = 1e-5
+    sd = {}
+    want = {}
+    for i, (k, v) in enumerate(flatten_dict(template, sep="/").items()):
+        v = np.asarray(v)
+        leaf = k.rsplit("/", 1)[-1]
+        if "ChannelAffine" in k and leaf == "bias":
+            continue  # emitted with its scale partner
+        if "ChannelAffine" in k:  # scale leaf -> BN quadruple
+            C = v.shape[0]
+            gamma = rng.random(C).astype(np.float32) + 0.5
+            beta = rng.standard_normal(C).astype(np.float32)
+            mean = rng.standard_normal(C).astype(np.float32)
+            var = rng.random(C).astype(np.float32) + 0.3
+            sd[f"m{i}.weight"] = gamma
+            sd[f"m{i}.bias"] = beta
+            sd[f"m{i}.running_mean"] = mean
+            sd[f"m{i}.running_var"] = var
+            sd[f"m{i}.num_batches_tracked"] = np.int64(11)
+            s = gamma / np.sqrt(var + eps)
+            want[k.replace("/bias", "/scale")] = s
+            want[k.rsplit("/", 1)[0] + "/bias"] = beta - mean * s
+        elif v.ndim == 4:
+            w = rng.standard_normal(v.shape).astype(np.float32) * 0.1
+            sd[f"m{i}.weight"] = np.transpose(w, (3, 2, 0, 1))
+            want[k] = w
+        else:
+            w = rng.standard_normal(v.shape).astype(np.float32) * 0.1
+            sd[f"m{i}.bias" if leaf == "bias" else f"m{i}.weight"] = w
+            want[k] = w
+
+    buf = BytesIO()
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               buf)
+    scan = temp_db.create_scan("torch_models")
+    fs = scan.create_fileset("models")
+    f = fs.create_file("bn_net")
+    f.write_raw(buf.getvalue(), "pt")
+    f.set_metadata("label_names", labels)
+    f.set_metadata("model_config", {"label_names": labels,
+                                    "widths": [8, 16],
+                                    "blocks_per_stage": 1})
+
+    model2, params2, config = load_model(f)
+    assert config["norm"] == "affine"
+    got = flatten_dict(params2, sep="/")
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(np.asarray(got[k]), want[k], atol=1e-6,
+                                   err_msg=k)
+    imgs = (rng.random((2, 32, 32, 3)) * 255).astype(np.uint8)
+    probs = segmentation_inference(model2, params2, imgs, batch_size=2,
+                                   output_dtype="float32")
+    assert probs.shape == (2, 3, 32, 32)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, atol=1e-4)
