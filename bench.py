@@ -161,20 +161,57 @@ def run_bench(packed, cams, hw, origin, metric, caps=(8192, 16384),
         fn(packed, cams_j, valid_j, origin_j, jnp.float32(VOXEL_SIZE))[0]))
     assert (bits == direct).all(), "compacted pull is not bit-exact"
 
+    # DEVICE-ONLY rate (VERDICT r4 #2): R carves inside ONE program so
+    # dispatch + relay latency amortize away; each iteration rolls the
+    # view axis (carving is view-order-invariant, so results are
+    # bit-identical) to make the scan body genuinely data-dependent —
+    # XLA cannot hoist a loop-invariant carve out of the scan. One
+    # scalar pull forces completion.
+    R = 4
+
+    @jax.jit
+    def carve_repeat(p, cj, vj, oj, vsj):
+        def body(carry, s):
+            out, counts = fn(jnp.roll(p, s, axis=0),
+                             jnp.roll(cj, s, axis=0),
+                             jnp.roll(vj, s, axis=0), oj, vsj)
+            return carry + jnp.sum(out, dtype=jnp.uint32) \
+                + jnp.sum(counts).astype(jnp.uint32), None
+        carry, _ = jax.lax.scan(body, jnp.uint32(0),
+                                jnp.arange(R, dtype=jnp.int32))
+        return carry
+
+    args = (packed, cams_j, valid_j, origin_j, jnp.float32(VOXEL_SIZE))
+    float(carve_repeat(*args))  # warmup/compile
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(carve_repeat(*args))
+        dts.append(time.perf_counter() - t0)
+
+    tests = float(np.prod(shape)) * V
+    device_mvvs = R * tests / min(dts) / 1e6
+
+    # PROTOCOL-INCLUSIVE rate (the cross-round headline): full carve +
+    # block-compacted result pull + host scatter/unpack. Steady-state
+    # min over enough passes that relay jitter cannot move the number
+    # (the round-4 driver capture regressed 8.6% on an unchanged engine
+    # purely from host load in this part).
     times = []
-    for _ in range(5):
+    for _ in range(9):
         t0 = time.perf_counter()
         run_once()
         times.append(time.perf_counter() - t0)
     dt = min(times)
 
-    tests = float(np.prod(shape)) * V
     mvvs = tests / dt / 1e6
     print(json.dumps({
         "metric": metric,
         "value": round(mvvs, 1),
         "unit": "Mvoxel-view/s",
         "vs_baseline": round(mvvs / BASELINE_MVVS, 2),
+        "device_only_mvvs": round(device_mvvs, 1),
+        "protocol_passes_s": [round(t, 4) for t in times],
     }))
     return mvvs, int(bits.sum())
 

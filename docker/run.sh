@@ -13,6 +13,7 @@ usage() {
   cat <<EOF
 Usage: $0 [-t tag] [-db /path/to/db] [-v host:cont] [-c "command"]
           [--geom_pipeline_test] [--ml_pipeline_test] [--tpu_test]
+          [--optional_deps_test]
 
   -t           image tag (default: latest)
   -db          host database directory to mount at /myapp/db
@@ -21,6 +22,7 @@ Usage: $0 [-t tag] [-db /path/to/db] [-v host:cont] [-c "command"]
   --geom_pipeline_test   run the geometric pipeline smoke test
   --ml_pipeline_test     run the ML pipeline smoke test
   --tpu_test             check that JAX sees the TPU
+  --optional_deps_test   run the real dash/plotly smoke tests
 EOF
 }
 
@@ -33,6 +35,7 @@ while [ "$1" != "" ]; do
     --geom_pipeline_test) cmd="cd plant3dvision_tpu && bash tests/check_geom_pipe.sh" ;;
     --ml_pipeline_test) cmd="cd plant3dvision_tpu && bash tests/check_ml_pipe.sh" ;;
     --tpu_test) cmd="python3 -c 'import jax; print(jax.devices())'" ;;
+    --optional_deps_test) cmd="cd plant3dvision_tpu && python3 -m pytest tests/unit/test_optional_viz.py -v" ;;
     -h|--help) usage; exit 0 ;;
     *) usage; exit 1 ;;
   esac

@@ -263,7 +263,7 @@ class Backprojection:
 
     def __init__(self, shape, origin, voxel_size, type="carving",
                  default_value=0, labels=None, log=False,
-                 kill_tolerance=0):
+                 kill_tolerance=0, engine="auto"):
         self.shape = tuple(int(s) for s in shape)
         self.origin = np.asarray(origin, dtype=np.float32)
         self.voxel_size = float(voxel_size)
@@ -272,6 +272,12 @@ class Backprojection:
         self.labels = labels
         self.log = log
         self.kill_tolerance = int(kill_tolerance)
+        #: "auto" = single-device engines (hier/pv carve, tiled/dense
+        #: averaging); "sharded" = shard over ALL visible devices
+        #: (view-sharded hierarchical carve / x-slab-sharded averaging,
+        #: parallel/carving*.py) — the multi-chip Voxels lane, exercised
+        #: by dryrun_multichip stage 9
+        self.engine = str(engine)
         if type not in ("carving", "averaging"):
             raise ValueError(
                 f"Unknown kernel type {type}, valid values are 'averaging' or 'carving'!")
@@ -281,6 +287,17 @@ class Backprojection:
         self._values = None
         self._kills = None
         self._seen = None
+
+    @staticmethod
+    def _n_devices() -> int:
+        import jax
+        return len(jax.devices())
+
+    @staticmethod
+    def _flat_mesh():
+        import jax
+        from jax.sharding import Mesh
+        return Mesh(np.array(jax.devices()), ("dp",))
 
     # -- incremental API (parity with reference process_view) ----------
     def process_view(self, intrinsics, rot, tvec, mask):
@@ -316,6 +333,14 @@ class Backprojection:
                 self._pending_masks = []
                 self._pending_cams = []
                 return
+            elif self.engine == "sharded" and self._n_devices() > 1:
+                # multi-chip lane: view-sharded hierarchical carve (one
+                # SPMD program, per-level pmax joins over ICI) —
+                # bit-identical to the single-chip engines
+                from ..parallel.carving_mp import carve_sharded_hierarchical
+                vol = carve_sharded_hierarchical(
+                    masks, cams, valid, self.origin, self.voxel_size,
+                    self.shape, self._flat_mesh())
             else:
                 # hierarchical carve: bit-identical, ~6x fewer gathers;
                 # the per-view-compacted variant wins once straddle sets
@@ -334,6 +359,26 @@ class Backprojection:
                 vol = np.where(killed, -1, np.where(seen, 1, 0)).astype(np.int32)
         else:
             vol = None
+            if self.engine == "sharded" and self._n_devices() > 1:
+                # multi-chip lane: x-slab-sharded averaging (grid split
+                # over the mesh, no volume collective); pad x to the
+                # device count and crop — slabs index voxels globally so
+                # padding is inert (parallel/carving.average_grid_sharded)
+                import jax
+                from ..parallel.carving import average_grid_sharded
+                fmasks = masks.astype(np.float32)
+                if masks.dtype == np.uint8:
+                    fmasks = fmasks / 255.0
+                if self.log:
+                    fmasks = np.log(EPS + fmasks)
+                n = self._n_devices()
+                nx, ny, nz = self.shape
+                nxp = -(-nx // n) * n
+                mesh = self._flat_mesh()
+                with mesh:
+                    vol = np.asarray(average_grid_sharded(
+                        fmasks, cams, valid, self.origin, self.voxel_size,
+                        (nxp, ny, nz), mesh))[:nx]
             # two-valued masks (the Segmentation2D binarize default and
             # every color-filter Masks output): tile row-gather averaging
             # — ONE 32x32-px bit-tile fetch per (4^3-voxel cell, view)
@@ -347,7 +392,7 @@ class Backprojection:
             chunked = int(np.prod(self.shape)) > _avg_chunk_voxels()
             nz = np.unique(masks)
             nz = nz[nz != 0]
-            if len(nz) <= 1:
+            if vol is None and len(nz) <= 1:
                 from .averaging_tiled import (average_tiled,
                                               average_tiled_chunked)
                 # the single nonzero value, after the same normalization

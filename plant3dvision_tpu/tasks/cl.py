@@ -29,6 +29,10 @@ class Voxels(RomiTask):
     #: with COLMAP-grade poses; >0 for self-calibrated turntable poses
     #: (ops/carving.carve_tolerant)
     kill_tolerance = Parameter(default=0)
+    #: "auto" = single-device engines; "sharded" = shard the carve over
+    #: views / the averaging grid over x-slabs across ALL visible
+    #: devices (ops.carving.Backprojection engine; multi-chip lane)
+    engine = Parameter(default="auto", significant=False)
 
     # RomiTask glue: upstream_task unused, requirements are mask (+ colmap)
     upstream_task = Parameter(default="ImagesFilesetExists", significant=False)
@@ -100,7 +104,8 @@ class Voxels(RomiTask):
         bp = Backprojection(
             shape=[nx, ny, nz], origin=[x_min, y_min, z_min], voxel_size=vs,
             type=str(self.type), labels=labels, log=bool(self.log),
-            kill_tolerance=int(self.kill_tolerance))
+            kill_tolerance=int(self.kill_tolerance),
+            engine=str(self.engine))
         vol = bp.process_fileset(masks_files, str(self.camera_metadata),
                                  bool(self.invert))
 

@@ -206,6 +206,10 @@ class Segmentation2D(Masks):
     #: 227 vs 124 TOP/s, exp_int8_conv.py); same checkpoint, float
     #: logits head. Argmax-agreement guard: tests/unit/test_models.py.
     conv_mode = Parameter(default="bf16", significant=False)
+    #: shard inference batches over all visible devices ("auto" follows
+    #: models/unet.segmentation_inference: on for multi-device non-CPU
+    #: backends; true/false force it — the dryrun's dp-seg lane)
+    data_parallel = Parameter(default="auto", significant=False)
 
     def requires(self):
         return {"images": self._upstream(),
@@ -259,10 +263,15 @@ class Segmentation2D(Masks):
         metas = list(files)
         batch = np.stack(imgs)
 
+        dp = self.data_parallel
+        if not isinstance(dp, bool):
+            dp = {"auto": "auto", "true": True, "false": False}[
+                str(dp).lower()]
         probs = segmentation_inference(model, params, batch,
                                        batch_size=int(self.batch_size),
                                        tta=bool(self.tta),
-                                       conv_mode=str(self.conv_mode))  # (N, C, H, W)
+                                       conv_mode=str(self.conv_mode),
+                                       data_parallel=dp)  # (N, C, H, W)
         if probs.dtype == np.uint8:   # quantized transfer (unet.py)
             probs = probs.astype(np.float32) / 255.0
 
