@@ -87,23 +87,40 @@ def vol2pcd(volume, origin, voxel_size, level_set_value=0, dist_cap=16,
     vol = volume if isinstance(volume, jnp.ndarray) else np.asarray(volume)
     cap = int(min(dist_cap + level_set_value + 4, max(vol.shape)))
     if band_cap is None:
-        # the band is a constant-thickness surface shell; bucket for cache
+        # the band is a constant-thickness surface shell (<= a few % of
+        # the volume); bucket for program-cache reuse. The old //4 bound
+        # made the compacted buffers themselves grid-scale — at the
+        # 0.25 mm ML north-star grid the three pulls below then moved
+        # GBs of padding through the device link (VERDICT r4 #5: the
+        # 29.7 s PointCloud stage was ~all link time).
         bc = 65536
-        while bc < vol.size // 4:
+        while bc < vol.size // 32:
             bc <<= 1
         band_cap = min(bc, vol.size)
     idx, valid, d, g, n_band = _vol2pcd_dense_jit(
         jnp.asarray(vol, jnp.float32), jnp.float32(level_set_value), cap,
         band_cap)
     n = int(n_band)
-    if n > band_cap:  # extremely dense volume: redo with exact size
+    if n > band_cap:  # denser than the bucket guess: redo at the next
+        band_cap = 65536  # power-of-two bucket that fits (NOT vol.size)
+        while band_cap < n:
+            band_cap <<= 1
+        band_cap = min(band_cap, vol.size)
         idx, valid, d, g, n_band = _vol2pcd_dense_jit(
             jnp.asarray(vol, jnp.float32), jnp.float32(level_set_value),
-            cap, vol.size)
+            cap, band_cap)
         n = int(n_band)
-    idx = np.asarray(idx)[:n] if n <= band_cap else np.asarray(idx)
-    d = np.asarray(d)[:n]
-    grad = np.asarray(g)[:n]
+    # pull ONLY the live band: slice on DEVICE first (a host-side
+    # [:n] after np.asarray pulls the whole padded cap buffer through
+    # the link). The slice length is power-of-two bucketed so repeated
+    # calls reuse the compiled slice programs.
+    tb = 4096
+    while tb < n:
+        tb <<= 1
+    tb = min(tb, band_cap)
+    idx = np.asarray(idx[:tb])[:n]
+    d = np.asarray(d[:tb])[:n]
+    grad = np.asarray(g[:tb])[:n]
 
     ny, nz = vol.shape[1], vol.shape[2]
     x = idx // (ny * nz)
