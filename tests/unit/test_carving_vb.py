@@ -1,0 +1,80 @@
+"""View-chunked carve engine (ops/carving_vb.py): bit-equality vs the
+sequential fused engine and the numpy oracle, across chunking regimes."""
+
+import numpy as np
+
+import jax
+
+from plant3dvision_tpu.camera import pose_to_extrinsics
+from plant3dvision_tpu.ops.carving import pack_camera
+from plant3dvision_tpu.ops.carving_vb import carve_fused_vb
+from plant3dvision_tpu.parallel.carving_mp import carve_fused
+
+
+def _workload(V=12, H=96, W=128, seed=0):
+    rng = np.random.default_rng(seed)
+    masks = np.zeros((V, H, W), np.uint8)
+    cams = np.zeros((V, 16), np.float32)
+    # blobby plant-ish masks + turntable cameras
+    for v in range(V):
+        a = 2 * np.pi * v / V
+        R, t = pose_to_extrinsics(
+            [60 * np.cos(a), 60 * np.sin(a), 10.0], (0, 0, 0))
+        cams[v] = pack_camera([110.0, 110.0, W / 2, H / 2], R, t)
+        yy, xx = np.mgrid[0:H, 0:W]
+        m = np.zeros((H, W), bool)
+        for _ in range(6):
+            cy, cx = rng.integers(H // 4, 3 * H // 4), rng.integers(
+                W // 4, 3 * W // 4)
+            r = rng.integers(6, 16)
+            m |= (yy - cy) ** 2 + (xx - cx) ** 2 < r * r
+        masks[v] = m.astype(np.uint8) * 255
+    valid = np.ones(V, bool)
+    return masks, cams, valid
+
+
+def test_vb_matches_sequential_single_chunk():
+    masks, cams, valid = _workload()
+    origin = np.array([-16.0, -16.0, -16.0], np.float32)
+    shape = (32, 32, 32)
+    ref = carve_fused(masks, cams, valid, origin, 1.0, shape)
+    got = carve_fused_vb(masks, cams, valid, origin, 1.0, shape)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_vb_matches_sequential_multi_chunk():
+    """V > view_chunk exercises the lax.scan path + view padding."""
+    masks, cams, valid = _workload(V=12)
+    origin = np.array([-16.0, -16.0, -16.0], np.float32)
+    shape = (32, 32, 32)
+    ref = carve_fused(masks, cams, valid, origin, 1.0, shape)
+    got = carve_fused_vb(masks, cams, valid, origin, 1.0, shape,
+                         view_chunk=5)  # 12 views -> 3 chunks, 3 pad rows
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_vb_invalid_views_and_alive_output():
+    masks, cams, valid = _workload(V=10)
+    valid = valid.copy()
+    valid[3] = False
+    valid[7] = False
+    origin = np.array([-16.0, -16.0, -16.0], np.float32)
+    shape = (33, 31, 30)  # non-multiple-of-8 shape exercises padding
+    ref = carve_fused(masks, cams, valid, origin, 1.0, shape)
+    got = carve_fused_vb(masks, cams, valid, origin, 1.0, shape,
+                         view_chunk=4)
+    np.testing.assert_array_equal(got, ref)
+    alive = carve_fused_vb(masks, cams, valid, origin, 1.0, shape,
+                           view_chunk=4, out="alive")
+    np.testing.assert_array_equal(alive, ref == 1)
+
+
+def test_vb_cap_retry():
+    """Tiny initial caps must retry to a fitting bucket, not mis-carve."""
+    masks, cams, valid = _workload(V=8)
+    origin = np.array([-16.0, -16.0, -16.0], np.float32)
+    shape = (32, 32, 32)
+    ref = carve_fused(masks, cams, valid, origin, 1.0, shape)
+    got = carve_fused_vb(masks, cams, valid, origin, 1.0, shape,
+                         caps=(64, 64))
+    np.testing.assert_array_equal(got, ref)
