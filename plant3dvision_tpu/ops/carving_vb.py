@@ -159,7 +159,7 @@ def _exact_tiles_chunk(pts_p, cams_c, valid_c, tiles_flat, Rrows, v0,
 
 
 def _make_carve_body_vb(H, W, shape, start_level, pyramid_levels, caps,
-                        view_chunk=64, packed_output=False):
+                        view_chunk=64, packed_output=False, min_seen=1):
     """The view-chunked fused carve body (same level plan / cap contract
     as carving_mp._make_carve_body; counts = [undecided per level...,
     tile-window overflow])."""
@@ -226,23 +226,26 @@ def _make_carve_body_vb(H, W, shape, start_level, pyramid_levels, caps,
             if G == 1:
                 k, h, u = one(cams_g[0], valid_g[0], jnp.int32(0),
                               None if cand_g is None else cand_g[0])
-                return jnp.any(k, 0), jnp.any(h, 0), u
+                return (jnp.any(k, 0), jnp.any(h, 0), u,
+                        jnp.sum(h, 0, dtype=jnp.int32))
 
             def step(carry, xs):
-                ka, ha = carry
+                ka, ha, hn = carry
                 if cand_g is None:
                     cams_c, valid_c, v0 = xs
                     cand_c = None
                 else:
                     cams_c, valid_c, v0, cand_c = xs
                 k, h, u = one(cams_c, valid_c, v0, cand_c)
-                return (ka | jnp.any(k, 0), ha | jnp.any(h, 0)), u
+                return (ka | jnp.any(k, 0), ha | jnp.any(h, 0),
+                        hn + jnp.sum(h, 0, dtype=jnp.int32)), u
 
             xs = ((cams_g, valid_g, v0_g) if cand_g is None
                   else (cams_g, valid_g, v0_g, cand_g))
-            (ka, ha), us = jax.lax.scan(
-                step, (jnp.zeros(M, bool), jnp.zeros(M, bool)), xs)
-            return ka, ha, us.reshape(Vp, M)
+            (ka, ha, hn), us = jax.lax.scan(
+                step, (jnp.zeros(M, bool), jnp.zeros(M, bool),
+                       jnp.zeros(M, jnp.int32)), xs)
+            return ka, ha, us.reshape(Vp, M), hn
 
         def exact_all(pts_p, cand):
             """(kill_any, hit_any (P*f3,), overflow int32); cand (Vp, P)."""
@@ -250,27 +253,30 @@ def _make_carve_body_vb(H, W, shape, start_level, pyramid_levels, caps,
             cand_g = cand.reshape(G, C, P_)
 
             def step(carry, xs):
-                ka, ha, ov = carry
+                ka, ha, ov, hn = carry
                 cams_c, valid_c, v0, cand_c = xs
                 k, h, o = _exact_tiles_chunk(
                     pts_p, cams_c, valid_c, tiles_flat, Rrows, v0,
                     Ht, Wt, H, W)
                 cc = jnp.repeat(cand_c, f3, axis=1)
-                return (ka | jnp.any(k & cc, 0), ha | jnp.any(h & cc, 0),
-                        ov + jnp.sum(o)), None
+                hm = h & cc
+                return (ka | jnp.any(k & cc, 0), ha | jnp.any(hm, 0),
+                        ov + jnp.sum(o),
+                        hn + jnp.sum(hm, 0, dtype=jnp.int32)), None
 
             init = (jnp.zeros(P_ * f3, bool), jnp.zeros(P_ * f3, bool),
-                    jnp.int32(0))
+                    jnp.int32(0), jnp.zeros(P_ * f3, jnp.int32))
             if G == 1:
                 k, h, o = _exact_tiles_chunk(
                     pts_p, cams_g[0], valid_g[0], tiles_flat, Rrows,
                     jnp.int32(0), Ht, Wt, H, W)
                 cc = jnp.repeat(cand_g[0], f3, axis=1)
-                return (jnp.any(k & cc, 0), jnp.any(h & cc, 0),
-                        jnp.sum(o))
-            (ka, ha, ov), _ = jax.lax.scan(
+                hm = h & cc
+                return (jnp.any(k & cc, 0), jnp.any(hm, 0), jnp.sum(o),
+                        jnp.sum(hm, 0, dtype=jnp.int32))
+            (ka, ha, ov, hn), _ = jax.lax.scan(
                 step, init, (cams_g, valid_g, v0_g, cand_g))
-            return ka, ha, ov
+            return ka, ha, ov, hn
 
         # ---- top level ------------------------------------------------
         gx, gy, gz = grid0
@@ -278,8 +284,7 @@ def _make_carve_body_vb(H, W, shape, start_level, pyramid_levels, caps,
         jj = jax.lax.broadcasted_iota(jnp.int32, grid0, 1).reshape(-1)
         kk = jax.lax.broadcasted_iota(jnp.int32, grid0, 2).reshape(-1)
         cells_f = jnp.stack([ii, jj, kk], axis=1).astype(jnp.float32)
-        any_kill, hit_carry, local_undec = None, None, None
-        ak, ah, undec = classify_all(cells_f, vs * m)
+        ak, ah, undec, seen_n = classify_all(cells_f, vs * m)
         any_und = jnp.any(undec, axis=0)
         status = jnp.where(
             ak, jnp.int8(KILLED),
@@ -287,6 +292,7 @@ def _make_carve_body_vb(H, W, shape, start_level, pyramid_levels, caps,
                       jnp.where(ah, jnp.int8(ALIVE), jnp.int8(UNSEEN))))
         hit_carry = ah
         local_undec = undec
+        seen_count = jnp.minimum(seen_n, 255).astype(jnp.uint8)
 
         # ---- refinement ----------------------------------------------
         counts = []
@@ -315,16 +321,22 @@ def _make_carve_body_vb(H, W, shape, start_level, pyramid_levels, caps,
 
             if cell_vox > 1:
                 cand_c = jnp.repeat(cand, f3, axis=1)        # (Vp, cap*f3)
-                loc_kill, loc_hit, undc = classify_all(
+                loc_kill, loc_hit, undc, hn = classify_all(
                     children, vs * cell_vox, cand=cand_c)
                 loc_und = jnp.any(undc, axis=0)
             else:
                 pts_p = (origin_j[None, None, :]
                          + children.reshape(cap, f3, 3) * vs)
-                loc_kill, loc_hit, over_v = exact_all(pts_p, cand)
+                loc_kill, loc_hit, over_v, hn = exact_all(pts_p, cand)
                 overflow = overflow + over_v
                 loc_und = jnp.zeros_like(loc_kill)
                 undc = None
+            # seen count: parent's fully-covering views were counted at
+            # the parent (a refining parent is never killed and a
+            # view either hits it there, is out/invalid, or straddles —
+            # straddlers are exactly the cand set evaluated here)
+            count_c = (jnp.repeat(seen_count[pidx_safe].astype(jnp.int32)
+                                  * pvalid.astype(jnp.int32), f3) + hn)
 
             any_kill_c = loc_kill
             any_hit_c = loc_hit | hit_inherit
@@ -346,6 +358,15 @@ def _make_carve_body_vb(H, W, shape, start_level, pyramid_levels, caps,
             nxt = nxt.reshape(-1)
             safe_lin = jnp.where(child_valid, lin, nxt.size)
             status = nxt.at[safe_lin].set(status_c, mode="drop")
+            if min_seen > 1:
+                cnx = jnp.repeat(jnp.repeat(jnp.repeat(
+                    seen_count.reshape(gx // factor, gy // factor,
+                                       gz // factor),
+                    factor, axis=0), factor, axis=1), factor,
+                    axis=2).reshape(-1)
+                seen_count = cnx.at[safe_lin].set(
+                    jnp.minimum(count_c, 255).astype(jnp.uint8),
+                    mode="drop")
 
             if cell_vox > 1:
                 lu = jnp.zeros((Vp, nxt.size), bool)
@@ -355,6 +376,16 @@ def _make_carve_body_vb(H, W, shape, start_level, pyramid_levels, caps,
 
         counts = counts + [overflow]
         vol = status.reshape(gx, gy, gz)[:nx, :ny, :nz]
+        if min_seen > 1:
+            # opt-in cleanup (VERDICT r4 #3): an ALIVE voxel seen by
+            # fewer than `min_seen` views is background fuzz (isolated
+            # mask-noise rays); demote to UNSEEN. ALIVE cells decided at
+            # coarse levels have complete counts: a cell with any
+            # straddling view is UNDECIDED, so ALIVE implies every view
+            # either fully covered it (counted) or had no effect.
+            cnt = seen_count.reshape(gx, gy, gz)[:nx, :ny, :nz]
+            vol = jnp.where((vol == ALIVE) & (cnt < min_seen),
+                            jnp.int8(UNSEEN), vol)
         if packed_output:
             alive = (vol == ALIVE).reshape(-1)
             pad = (-alive.shape[0]) % 8
@@ -370,12 +401,17 @@ def _make_carve_body_vb(H, W, shape, start_level, pyramid_levels, caps,
 
 @functools.lru_cache(maxsize=32)
 def make_vb_carver(H, W, shape, start_level=3, pyramid_levels=8,
-                   caps=(8192, 32768), view_chunk=64, packed_output=False):
-    """Jitted view-chunked carver for a fixed geometry (lru-cached)."""
+                   caps=(8192, 32768), view_chunk=64, packed_output=False,
+                   min_seen=1):
+    """Jitted view-chunked carver for a fixed geometry (lru-cached).
+    `min_seen` > 1 demotes ALIVE voxels seen by fewer views to UNSEEN
+    (opt-in background-fuzz cleanup; validated vs a per-view counting
+    oracle in tests/unit/test_carving_vb.py)."""
     body = _make_carve_body_vb(H, W, tuple(shape), start_level,
                                pyramid_levels, tuple(caps),
                                view_chunk=view_chunk,
-                               packed_output=packed_output)
+                               packed_output=packed_output,
+                               min_seen=min_seen)
     return jax.jit(body)
 
 
@@ -384,7 +420,7 @@ _GOOD_CAPS: dict = {}
 
 def carve_fused_vb(masks, cameras, valid, origin, voxel_size, shape,
                    caps=(8192, 32768), packed=None, hw=None, out="int8",
-                   view_chunk=64):
+                   view_chunk=64, min_seen=1):
     """One-shot view-chunked carve with automatic cap retry; API mirror
     of parallel.carving_mp.carve_fused (bit-equality asserted in
     tests/unit/test_carving_vb.py). A fine tile-window overflow falls
@@ -401,14 +437,15 @@ def carve_fused_vb(masks, cameras, valid, origin, voxel_size, shape,
     origin = jnp.asarray(origin, jnp.float32)
     caps = list(caps)
     key = (int(packed.shape[0]), H, W, tuple(shape), out, tuple(caps),
-           view_chunk)
+           view_chunk, min_seen)
     good = _GOOD_CAPS.get(key)
     if good is not None:
         caps = list(good)
     while True:
         fn = make_vb_carver(H, W, tuple(shape), caps=tuple(caps),
                             view_chunk=view_chunk,
-                            packed_output=(out == "alive"))
+                            packed_output=(out == "alive"),
+                            min_seen=min_seen)
         vol, counts = fn(packed, cameras, valid, origin,
                          jnp.float32(voxel_size))
         counts = np.asarray(counts)
