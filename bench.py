@@ -82,7 +82,7 @@ def load_fixture_workload():
 
 
 def run_bench(packed, cams, hw, origin, metric, caps=(8192, 16384),
-              cap_blocks=4096):
+              cap_blocks=4096, engine="seq", min_seen=1):
     import jax
     import jax.numpy as jnp
     from plant3dvision_tpu.parallel.carving_mp import make_fused_carver
@@ -106,8 +106,19 @@ def run_bench(packed, cams, hw, origin, metric, caps=(8192, 16384),
     # picks each voxel's bit with an in-register select tree; the
     # dilated pyramids make the coarse box test a single tap.  Both are
     # bit-exact vs the byte-gather engine (tests/unit/test_parallel_carve).
-    fn = make_fused_carver(H, W, tuple(shape), caps=caps,
-                           packed_output=True, fine_tiles=True)
+    if engine == "vb":
+        # view-chunked engine (ops/carving_vb.py): same bit-exact carve,
+        # ~10 fat XLA ops per level instead of a 60-step per-view chain;
+        # min_seen > 1 additionally demotes background-fuzz ALIVE voxels
+        # (opt-in cleanup, validated vs a counting oracle in
+        # tests/unit/test_carving_vb.py — used by the --fixture lane
+        # where mask noise inflates the alive set ~25x)
+        from plant3dvision_tpu.ops.carving_vb import make_vb_carver
+        fn = make_vb_carver(H, W, tuple(shape), caps=caps,
+                            packed_output=True, min_seen=min_seen)
+    else:
+        fn = make_fused_carver(H, W, tuple(shape), caps=caps,
+                               packed_output=True, fine_tiles=True)
 
     # Single-transfer, BLOCK-COMPACTED pull (lossless): a carved plant is
     # sparse (~0.1% nonzero bytes on this workload), and the relay link
@@ -216,32 +227,59 @@ def run_bench(packed, cams, hw, origin, metric, caps=(8192, 16384),
     return mvvs, int(bits.sum())
 
 
+def _argval(flag, default):
+    if flag in sys.argv:
+        return sys.argv[sys.argv.index(flag) + 1]
+    return default
+
+
 def main():
+    engine = _argval("--engine", "seq")     # "seq" | "vb"
     if "--fixture" in sys.argv:
         import jax
         packed, cams, hw, origin = load_fixture_workload()
         # real masks (backdrop noise, dilation fuzz) straddle ~3x more
         # cells than the synthetic scene (9776/42093 undecided at the
         # box/fine levels vs ~5k/14k) and leave a ~25x larger alive set
-        # (24.8k nonzero 64-byte blocks vs ~3.5k), hence the wider caps
+        # (24.8k nonzero 64-byte blocks vs ~3.5k), hence the wider caps.
+        # --min-seen N (vb engine) demotes ALIVE voxels seen by < N
+        # views — the alive fuzz is single-ray mask noise, so a small N
+        # collapses the compacted pull back to plant-sized (the raw
+        # metric is reported alongside in the JSON).
+        min_seen = int(_argval("--min-seen", "1"))
         mvvs, alive = run_bench(packed, cams, hw, origin,
                                 "carve_throughput_fixture",
-                                caps=(16384, 65536), cap_blocks=32768)
+                                caps=(16384, 65536),
+                                cap_blocks=(4096 if min_seen > 1
+                                            else 32768),
+                                engine=engine, min_seen=min_seen)
         if "--save" in sys.argv:
             report = Path(__file__).resolve().parent / "BENCH_FIXTURE.json"
-            report.write_text(json.dumps({
-                "metric": "carve_throughput_fixture",
+            prev = {}
+            if report.exists():
+                prev = json.loads(report.read_text())
+            entry = {
                 "value": round(mvvs, 1), "unit": "Mvoxel-view/s",
                 "vs_baseline": round(mvvs / BASELINE_MVVS, 2),
                 "alive_voxels": alive,
-                "workload": "real_plant 60 masks (threshold 0.15, "
-                            "dilation 3) + TurntableCalibration cameras, "
-                            "grid 301x301x561 @ 0.5 mm",
+                "engine": engine, "min_seen": min_seen,
                 "device": str(jax.devices()[0]),
-            }, indent=1) + "\n")
+            }
+            key = ("cleaned" if min_seen > 1 else "raw") + "_" + engine
+            prev[key] = entry
+            prev.setdefault("metric", "carve_throughput_fixture")
+            prev.setdefault(
+                "workload", "real_plant 60 masks (threshold 0.15, "
+                "dilation 3) + TurntableCalibration cameras, "
+                "grid 301x301x561 @ 0.5 mm")
+            # keep the legacy top-level fields on the RAW run
+            if min_seen == 1:
+                prev.update(entry)
+            report.write_text(json.dumps(prev, indent=1) + "\n")
     else:
         packed, cams, hw, origin = build_workload()
-        run_bench(packed, cams, hw, origin, "carve_throughput")
+        run_bench(packed, cams, hw, origin, "carve_throughput",
+                  engine=engine)
 
 
 if __name__ == "__main__":

@@ -127,23 +127,25 @@ def _exact_tiles_chunk(pts_p, cams_c, valid_c, tiles_flat, Rrows, v0,
 
     R = cams_c[:, 4:13].reshape(C, 3, 3)
     t = cams_c[:, 13:16]
-    px_n = pts @ R[:, 0, :].T + t[:, 0][None, :]             # (N, C)
-    py_n = pts @ R[:, 1, :].T + t[:, 1][None, :]
-    pz = pts @ R[:, 2, :].T + t[:, 2][None, :]
-    px = (px_n / pz * cams_c[:, 0][None, :]
-          + cams_c[:, 2][None, :]).astype(jnp.int32)         # (N, C)
-    py = (py_n / pz * cams_c[:, 1][None, :]
-          + cams_c[:, 3][None, :]).astype(jnp.int32)
+    # chunk-major (C, N) layout end to end — a (N, C) formulation needs
+    # 250 MB transposes at bench scale, which do not fuse
+    px_n = jnp.einsum("cj,nj->cn", R[:, 0, :], pts) + t[:, 0][:, None]
+    py_n = jnp.einsum("cj,nj->cn", R[:, 1, :], pts) + t[:, 1][:, None]
+    pz = jnp.einsum("cj,nj->cn", R[:, 2, :], pts) + t[:, 2][:, None]
+    px = (px_n / pz * cams_c[:, 0][:, None]
+          + cams_c[:, 2][:, None]).astype(jnp.int32)         # (C, N)
+    py = (py_n / pz * cams_c[:, 1][:, None]
+          + cams_c[:, 3][:, None]).astype(jnp.int32)
     in_img = ((pz > 0) & (px >= 0) & (px <= W - 1)
               & (py >= 0) & (py <= H - 1))
-    in_img = in_img & valid_c[None, :]
+    in_img = in_img & valid_c[:, None]
 
-    cx = jnp.clip(px, 0, W - 1).T.reshape(C, P_, f3)
-    cy = jnp.clip(py, 0, H - 1).T.reshape(C, P_, f3)
+    cx = jnp.clip(px, 0, W - 1).reshape(C, P_, f3)
+    cy = jnp.clip(py, 0, H - 1).reshape(C, P_, f3)
     x0 = cx.min(axis=2)
     y0 = cy.min(axis=2)
     over = (((cx.max(axis=2) - x0 > 24) | (cy.max(axis=2) - y0 > 24))
-            & in_img.T.reshape(C, P_, f3).any(axis=2))       # (C, P)
+            & in_img.reshape(C, P_, f3).any(axis=2))         # (C, P)
     tx = jnp.right_shift(x0, 3)
     ty = jnp.right_shift(y0, 3)
     vbase = (v0 + jnp.arange(C, dtype=jnp.int32)) * (Ht * Wt)
@@ -154,7 +156,7 @@ def _exact_tiles_chunk(pts_p, cams_c, valid_c, tiles_flat, Rrows, v0,
     word = _pick32(T, dy)                                    # (C*P, f3)
     m = ((word >> dx) & 1) != 0
     m = m.reshape(C, P_ * f3)
-    in_img = in_img.T.reshape(C, P_ * f3)
+    in_img = in_img.reshape(C, P_ * f3)
     return in_img & ~m, in_img & m, jnp.sum(over, axis=1, dtype=jnp.int32)
 
 

@@ -116,6 +116,13 @@ class FusedCarving(RomiTask):
             from ..parallel.carving_mp import carve_fused
             return carve_fused(None, cams, valid, origin, vs, shape,
                                packed=packed_dev, hw=(H, W))
+        if str(self.engine) == "vb":
+            # view-chunked engine (ops/carving_vb.py): per-view math
+            # batched over a chunk axis, flat-take lookups — bit-exact
+            # vs "fused" (tests/unit/test_carving_vb.py)
+            from ..ops.carving_vb import carve_fused_vb
+            return carve_fused_vb(None, cams, valid, origin, vs, shape,
+                                  packed=packed_dev, hw=(H, W))
         if str(self.engine) == "sharded":
             # view-sharded hierarchical carve over ALL visible devices
             # (per-level pmax joins over ICI — the multi-chip lane,
