@@ -107,18 +107,20 @@ def run_bench(packed, cams, hw, origin, metric, caps=(8192, 16384),
     # dilated pyramids make the coarse box test a single tap.  Both are
     # bit-exact vs the byte-gather engine (tests/unit/test_parallel_carve).
     if engine == "vb":
-        # view-chunked engine (ops/carving_vb.py): same bit-exact carve,
-        # ~10 fat XLA ops per level instead of a 60-step per-view chain;
-        # min_seen > 1 additionally demotes background-fuzz ALIVE voxels
-        # (opt-in cleanup, validated vs a counting oracle in
-        # tests/unit/test_carving_vb.py — used by the --fixture lane
-        # where mask noise inflates the alive set ~25x)
+        # view-chunked engine (ops/carving_vb.py): bit-exact but measured
+        # SLOWER than the sequential chain (476 vs 374 ms/carve on the
+        # v5e — docs/CARVE_CEILING.md dead end #8); kept for A/B
         from plant3dvision_tpu.ops.carving_vb import make_vb_carver
         fn = make_vb_carver(H, W, tuple(shape), caps=caps,
                             packed_output=True, min_seen=min_seen)
     else:
+        # min_seen > 1 demotes background-fuzz ALIVE voxels on device
+        # (opt-in cleanup validated vs a counting oracle,
+        # tests/unit/test_carving_vb.py — the --fixture lane's ~25x
+        # alive-set inflation is exactly such single-ray mask noise)
         fn = make_fused_carver(H, W, tuple(shape), caps=caps,
-                               packed_output=True, fine_tiles=True)
+                               packed_output=True, fine_tiles=True,
+                               min_seen=min_seen)
 
     # Single-transfer, BLOCK-COMPACTED pull (lossless): a carved plant is
     # sparse (~0.1% nonzero bytes on this workload), and the relay link
@@ -250,7 +252,7 @@ def main():
         mvvs, alive = run_bench(packed, cams, hw, origin,
                                 "carve_throughput_fixture",
                                 caps=(16384, 65536),
-                                cap_blocks=(4096 if min_seen > 1
+                                cap_blocks=(8192 if min_seen > 1
                                             else 32768),
                                 engine=engine, min_seen=min_seen)
         if "--save" in sys.argv:

@@ -28,9 +28,20 @@ temporaries stay O(chunk x cells) at any scan size.
 Semantics are IDENTICAL to the sequential engine (same per-view
 formulas, same single-tap dilated pyramids, same tile row-gather fine
 level, same caps/overflow contracts); equality vs `carve_fused` is
-asserted in tests/unit/test_carving_vb.py and at bench warmup on the
-real TPU. Reference semantics: kernels/backprojection.c:57-84 via
-ops/carving_hier.py.
+asserted in tests/unit/test_carving_vb.py and was verified on the real
+TPU (identical counts and volume). Reference semantics:
+kernels/backprojection.c:57-84 via ops/carving_hier.py.
+
+MEASURED VERDICT (v5e, 60-view bench workload, docs/CARVE_CEILING.md
+dead end #8): this engine is bit-exact but SLOWER than the sequential
+chain — 476 ms vs 374 ms per carve at view_chunk=64 (634 ms at 16; the
+first formulation with (N, C)-layout transposes read 449 ms). Inside
+one fused TPU program the per-view steps are cheap sequencer work,
+while the fat batched ops materialize grid-scale intermediates. The
+sequential engine stays the default everywhere; this module remains as
+the A/B reference (`FusedCarving.engine="vb"`, `bench.py --engine vb`)
+and as the first implementation of the `min_seen` cleanup (since ported
+to the sequential engine, parallel/carving_mp.py).
 """
 
 from __future__ import annotations

@@ -316,7 +316,7 @@ def _next_cap(n: int) -> int:
 def _make_carve_body(axis, H, W, shape,
                      start_level, pyramid_levels, caps,
                      packed_output=False, slot_caps=None,
-                     fine_tiles=False):
+                     fine_tiles=False, min_seen=1):
     """The fused hierarchical carve: top level + all refinements in ONE
     traced program with static per-level caps. Returns (volume int8,
     undecided counts per level int32) — callers MUST check counts <= caps
@@ -344,6 +344,9 @@ def _make_carve_body(axis, H, W, shape,
     grid = (-(-shape[0] // m), -(-shape[1] // m), -(-shape[2] // m))
     n_levels = pyramid_levels
     nx, ny, nz = shape
+    if min_seen > 1 and slot_caps is not None:
+        raise NotImplementedError("min_seen needs the dense refinement "
+                                  "paths (slot_caps unsupported)")
 
     # halve down to 4-voxel cells, then one factor-4 exact fine level —
     # the fine tile path's 24-px window guarantee needs fine parents no
@@ -379,6 +382,15 @@ def _make_carve_body(axis, H, W, shape,
         any_kill = _gor(jnp.any(kill, axis=0), axis)
         hit_carry = _gor(jnp.any(hit, axis=0), axis)        # dense (M,)
         any_und = _gor(jnp.any(undec, axis=0), axis)
+        if min_seen > 1:
+            # seen-count carry (opt-in min_seen cleanup, VERDICT r4 #3):
+            # views that fully cover a cell are counted here; straddling
+            # views of a refining parent are counted at the children
+            # (an ALIVE cell has no straddlers, so its count is final)
+            seen_count = jnp.sum(hit, axis=0, dtype=jnp.int32)
+            if axis is not None:
+                seen_count = jax.lax.psum(seen_count, axis)
+            seen_count = jnp.minimum(seen_count, 255).astype(jnp.uint8)
         status = jnp.where(
             any_kill, jnp.int8(KILLED),
             jnp.where(any_und, jnp.int8(UNDECIDED),
@@ -484,6 +496,13 @@ def _make_carve_body(axis, H, W, shape,
                 loc_kill = jnp.any(killc, axis=0)
                 loc_hit = jnp.any(hitc, axis=0)
                 loc_und = jnp.any(undc, axis=0)
+                if min_seen > 1:
+                    hn = jnp.sum(hitc, axis=0, dtype=jnp.int32)
+                    if axis is not None:
+                        hn = jax.lax.psum(hn, axis)
+                    count_c = (jnp.repeat(
+                        seen_count[pidx_safe].astype(jnp.int32)
+                        * pvalid.astype(jnp.int32), f3) + hn)
 
             any_kill_c = _gor(loc_kill, axis)
             any_hit_c = _gor(loc_hit, axis) | hit_inherit
@@ -506,6 +525,15 @@ def _make_carve_body(axis, H, W, shape,
             nxt = nxt.reshape(-1)
             safe_lin = jnp.where(child_valid, lin, nxt.size)
             status = nxt.at[safe_lin].set(status_c, mode="drop")  # flat
+            if min_seen > 1:
+                cnx = jnp.repeat(jnp.repeat(jnp.repeat(
+                    seen_count.reshape(gx // factor, gy // factor,
+                                       gz // factor),
+                    factor, axis=0), factor, axis=1), factor,
+                    axis=2).reshape(-1)
+                seen_count = cnx.at[safe_lin].set(
+                    jnp.minimum(count_c, 255).astype(jnp.uint8),
+                    mode="drop")
 
             if cell_vox > 1:
                 # carry dense straddle matrix + hit flags to the next level
@@ -532,6 +560,14 @@ def _make_carve_body(axis, H, W, shape,
             counts = counts + [overflow if overflow is not None
                                else jnp.int32(0)]
         vol = status.reshape(gx, gy, gz)[:nx, :ny, :nz]
+        if min_seen > 1:
+            # demote background-fuzz ALIVE voxels (seen by < min_seen
+            # views) to UNSEEN — validated against a per-view counting
+            # oracle in tests/unit/test_carving_vb.py (same semantics as
+            # ops/carving_vb.py min_seen)
+            cnt = seen_count.reshape(gx, gy, gz)[:nx, :ny, :nz]
+            vol = jnp.where((vol == ALIVE) & (cnt < min_seen),
+                            jnp.int8(UNSEEN), vol)
         if packed_output:
             # bit-pack the alive mask on device: the volume pull is often
             # link-bound (remote relay here, PCIe elsewhere) and the
@@ -582,7 +618,7 @@ def make_sharded_carver(mesh: Mesh, axis: str, H: int, W: int, V_total: int,
 def make_fused_carver(H: int, W: int, shape,
                       start_level: int = 3, pyramid_levels: int = 8,
                       caps=(8192, 32768), packed_output=False,
-                      slot_caps=None, fine_tiles=False):
+                      slot_caps=None, fine_tiles=False, min_seen=1):
     """Single-chip FUSED hierarchical carve: the whole level loop is one
     jitted program (no host syncs between levels — the round-1 carver,
     ops/carving_hier.py:310-342, pays one dispatch + one scalar pull per
@@ -599,7 +635,8 @@ def make_fused_carver(H: int, W: int, shape,
     body = _make_carve_body(None, H, W, tuple(shape),
                             start_level, pyramid_levels, tuple(caps),
                             packed_output=packed_output,
-                            slot_caps=slot_caps, fine_tiles=fine_tiles)
+                            slot_caps=slot_caps, fine_tiles=fine_tiles,
+                            min_seen=min_seen)
     return jax.jit(body)
 
 

@@ -120,3 +120,25 @@ def test_vb_min_seen_matches_counting_oracle():
                              min_seen=T)
         want = np.where((ref == 1) & (count < T), 0, ref)
         np.testing.assert_array_equal(got, want)
+
+
+def test_sequential_engine_min_seen_matches_vb():
+    """The sequential fused engine's min_seen port must agree with the
+    vb engine (itself oracle-validated above)."""
+    import jax.numpy as jnp
+    from plant3dvision_tpu.parallel.carving_mp import make_fused_carver
+
+    masks, cams, valid = _workload(V=10, seed=5)
+    origin = np.array([-16.0, -16.0, -16.0], np.float32)
+    shape = (32, 32, 32)
+    from plant3dvision_tpu.ops.carving_hier import pack_masks
+    packed = jnp.asarray(pack_masks(masks))
+    for T in (1, 3):
+        fn = make_fused_carver(masks.shape[1], masks.shape[2], shape,
+                               caps=(4096, 8192), fine_tiles=True,
+                               min_seen=T)
+        vol, counts = fn(packed, jnp.asarray(cams), jnp.asarray(valid),
+                         jnp.asarray(origin), jnp.float32(1.0))
+        ref = carve_fused_vb(masks, cams, valid, origin, 1.0, shape,
+                             min_seen=T)
+        np.testing.assert_array_equal(np.asarray(vol), ref)
