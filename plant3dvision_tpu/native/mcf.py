@@ -17,6 +17,19 @@ Two stages (`skeletonize_mesh`):
 the literal CGAL stage-2) is kept for clean tubular meshes; on carved
 plant hulls the mesh-geodesic route measured strictly better (see
 skeletonize_mesh docstring).
+
+DEFAULT-METHOD VERDICT (round 5, virtual_plant fixture A/B): mcf cannot
+become the default skeletonizer on these fixtures regardless of mesh
+connectivity. The IMLS mesh fragments at thin pedicels at every splat
+width (sigma 0.6/1.0/1.5/2.0 -> 178/88/107/108 components;
+exp_mcf_mesh.py) so the bridged route scores 0.141 ncost / 20.9 deg;
+meshing the CARVED volume instead (library="volume_mc", connected by
+construction, ~half-voxel inflation) lets mcf run unbridged but scores
+0.187 / 18.7 deg over 34 organs — better angles, worse DTW, because the
+mesh fuses/loses organs the POINT-based Xu route resolves (committed Xu:
+0.137 / 21.9 over ~38). The gap is organ recall of any mesh
+representation at these grids, not the skeletonizer — Xu stays the
+default, mcf stays the reference-parity option.
 """
 
 from __future__ import annotations

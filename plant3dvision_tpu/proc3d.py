@@ -34,6 +34,22 @@ def point2index(points, origin, voxel_size):
 
 # -- volume -> point cloud (reference vol2pcd, proc3d.py:490-570) --------
 
+def _compact_indices(flat, size):
+    """Indices of the first `size` True entries of a flat bool array,
+    in order, zero-filled — `jnp.nonzero(flat, size=size, fill_value=0)`
+    semantics via cumsum + scatter. XLA lowers nonzero through a SORT
+    on TPU (measured 1.9-2.7 s at a 203 M-voxel ML north-star grid —
+    the dominant vol2pcd cost); the cumsum+scatter form is plain
+    bandwidth (~tens of ms at the same scale)."""
+    import jax
+    import jax.numpy as jnp
+
+    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
+    src = jax.lax.broadcasted_iota(jnp.int32, flat.shape, 0)
+    tgt = jnp.where(flat & (pos < size), pos, size)
+    return jnp.zeros((size,), jnp.int32).at[tgt].set(src, mode="drop")
+
+
 def _vol2pcd_dense(v, level_set_value, cap, band_cap):
     """Full device pipeline: signed distance -> smoothed gradients -> the
     level-set band compacted to (band_cap,) indexed records. Only the thin
@@ -52,7 +68,7 @@ def _vol2pcd_dense(v, level_set_value, cap, band_cap):
                & (dist <= -level_set_value + np.sqrt(3)))
     flat = on_edge.reshape(-1)
     n_band = jnp.sum(flat)
-    idx = jnp.nonzero(flat, size=band_cap, fill_value=0)[0]
+    idx = _compact_indices(flat, band_cap)
     valid = jnp.arange(band_cap) < n_band
     d = dist.reshape(-1)[idx]
     g = jnp.stack([gx.reshape(-1)[idx], gy.reshape(-1)[idx],
