@@ -73,6 +73,7 @@ def _classify_chunk(cells_f, cams_c, valid_c, pyr_flat, L, v0,
     carving_mp._classify_local's lax.map body, computed in one shot.
     """
     C = cams_c.shape[0]
+    M = cells_f.shape[0]
     corners = (origin[None, None, :]
                + (cells_f[:, None, :] + _CUBE_OFFS_F[None, :, :])
                * s_world)                                    # (M, 8, 3)
@@ -111,17 +112,13 @@ def _classify_chunk(cells_f, cams_c, valid_c, pyr_flat, L, v0,
     # (bit0 = window max, bit1 = window min; ops/carving_hier.py)
     vbase = (v0 + jnp.arange(C, dtype=jnp.int32)) * L        # (C,)
     tap = vbase[:, None] + offl + cy0 * wl + cx0             # (C, M)
-    c = jnp.take(pyr_flat, tap.reshape(-1)).reshape(C, M_of(cells_f))
+    c = jnp.take(pyr_flat, tap.reshape(-1)).reshape(C, M)
 
     kill = fin & ((c & 1) == 0) & valid_c[:, None]
     hit = fin & (c >= 2) & valid_c[:, None]
     no_eff = out | ~valid_c[:, None]
     undec = ~kill & ~hit & ~no_eff
     return kill, hit, undec
-
-
-def M_of(cells_f):
-    return cells_f.shape[0]
 
 
 def _exact_tiles_chunk(pts_p, cams_c, valid_c, tiles_flat, Rrows, v0,
