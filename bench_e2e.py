@@ -96,7 +96,8 @@ def run_northstar(n_views=300, voxel=1.0, width=1440, height=1080,
         }
 
 
-def run_ml_northstar(n_views=126, size=896, voxel=0.15, batch=32):
+def run_ml_northstar(n_views=126, size=896, voxel=0.15, batch=32,
+                     sample="bilinear"):
     """ML-route e2e on the chip: photo-domain renders -> committed
     TPUSegNet -> FusedSegmentationCarving (CNN + multi-label averaging
     carve, device-resident) -> multiclass PointCloud -> OrganSegmentation
@@ -117,6 +118,7 @@ def run_ml_northstar(n_views=126, size=896, voxel=0.15, batch=32):
             "upstream_task": "ImagesFilesetExists",
             "camera_metadata": "camera", "voxel_size": voxel,
             "Sx": size, "Sy": size, "batch_size": batch, "log": False,
+            "sample": sample,
         },
         # multiclass argmax + organ params mirror the fixture-proven
         # configs/ml_pipe_virtual.toml (the photo plant is fixture-scale:
@@ -253,6 +255,8 @@ def main():
     # vs 0.0868, same 16 angles) at 5.3x less wall time (94.9 s vs 498 s
     # e2e) — the 56M-voxel 0.15 grid buys nothing on this plant scale
     ap.add_argument("--ml-voxel", type=float, default=0.25)
+    ap.add_argument("--ml-sample", default="bilinear",
+                    help="FusedSegmentationCarving sampling: bilinear|box")
     ap.add_argument("--engine", default=None,
                     help="override FusedCarving.engine for the northstar")
     args = ap.parse_args()
@@ -275,7 +279,8 @@ def main():
     if args.ml:
         report["ml_northstar"] = {**run_ml_northstar(args.ml_views,
                                                      args.ml_size,
-                                                     voxel=args.ml_voxel),
+                                                     voxel=args.ml_voxel,
+                                                     sample=args.ml_sample),
                                   **stamp}
     if args.reference_data:
         report["reference_fixtures"] = {**run_reference_fixtures(), **stamp}

@@ -113,10 +113,17 @@ def vol2pcd(volume, origin, voxel_size, level_set_value=0, dist_cap=16,
         while bc < vol.size // 32:
             bc <<= 1
         band_cap = min(bc, vol.size)
+    import os
+    import time as _time
+    dbg = os.environ.get("P3D_PCD_DEBUG")
+    t0 = _time.perf_counter()
     idx, valid, d, g, n_band = _vol2pcd_dense_jit(
         jnp.asarray(vol, jnp.float32), jnp.float32(level_set_value), cap,
         band_cap)
     n = int(n_band)
+    if dbg:
+        print(f"[vol2pcd] dense+count: {_time.perf_counter()-t0:.2f}s "
+              f"n={n} band_cap={band_cap} cap={cap}", flush=True)
     if n > band_cap:  # denser than the bucket guess: redo at the next
         band_cap = 65536  # power-of-two bucket that fits (NOT vol.size)
         while band_cap < n:
@@ -134,9 +141,13 @@ def vol2pcd(volume, origin, voxel_size, level_set_value=0, dist_cap=16,
     while tb < n:
         tb <<= 1
     tb = min(tb, band_cap)
+    t0 = _time.perf_counter()
     idx = np.asarray(idx[:tb])[:n]
     d = np.asarray(d[:tb])[:n]
     grad = np.asarray(g[:tb])[:n]
+    if dbg:
+        print(f"[vol2pcd] pull tb={tb}: {_time.perf_counter()-t0:.2f}s",
+              flush=True)
 
     ny, nz = vol.shape[1], vol.shape[2]
     x = idx // (ny * nz)

@@ -182,3 +182,59 @@ def test_fused_slab_accumulate_bit_identical():
             s * slab_nx, slab_nx, True)
     np.testing.assert_array_equal(np.asarray(full),
                                   np.asarray(vol[:, :shape[0]]))
+
+
+def test_accumulate_label_views_box_mode():
+    """sample='box' = half-texel 2x2 prefilter + ONE nearest tap (the
+    reference's LINEAR-at-integer-coords semantics, 4x fewer gathers):
+    must equal the brute-force prefilter + nearest-gather oracle, and
+    the slab program must match the whole-grid program."""
+    import jax
+    import jax.numpy as jnp
+    from plant3dvision_tpu.ops.carving import _project
+    from plant3dvision_tpu.ops.ml_fused import (accumulate_label_views,
+                                                accumulate_label_views_slab)
+
+    rng = np.random.default_rng(11)
+    B, C, H, W = 3, 2, 24, 32
+    shape = (8, 8, 8)
+    probs = rng.random((B, C, H, W)).astype(np.float32)
+    cams = np.zeros((B, 16), np.float32)
+    from plant3dvision_tpu.camera import pose_to_extrinsics
+    from plant3dvision_tpu.ops.carving import pack_camera
+    for v in range(B):
+        a = 2 * np.pi * v / B
+        R, t = pose_to_extrinsics([30 * np.cos(a), 30 * np.sin(a), 5.0],
+                                  (0, 0, 0))
+        cams[v] = pack_camera([40.0, 40.0, W / 2, H / 2], R, t)
+    valid = np.ones(B, bool)
+    origin = np.array([-4.0, -4.0, -4.0], np.float32)
+
+    vol0 = jnp.zeros((C, *shape), jnp.float32)
+    got = np.asarray(accumulate_label_views(
+        vol0, jnp.asarray(probs), jnp.asarray(cams), jnp.asarray(valid),
+        jnp.asarray(origin), jnp.float32(1.0), shape, False, sample="box"))
+
+    # oracle: edge-padded 2x2 box prefilter, nearest tap at floor(p)
+    pf = np.pad(probs, ((0, 0), (0, 0), (0, 1), (0, 1)), mode="edge")
+    pre = 0.25 * (pf[:, :, :H, :W] + pf[:, :, :H, 1:] +
+                  pf[:, :, 1:, :W] + pf[:, :, 1:, 1:])
+    want = np.zeros((C, *shape), np.float32)
+    for v in range(B):
+        px, py, _, _, in_img = jax.tree_util.tree_map(
+            np.asarray, _project(jnp.asarray(cams[v]), jnp.asarray(origin),
+                                 jnp.float32(1.0), shape, W, H))
+        x0 = np.clip(np.floor(px).astype(int), 0, W - 2)
+        y0 = np.clip(np.floor(py).astype(int), 0, H - 2)
+        for c in range(C):
+            want[c] += np.where(in_img, pre[v, c][y0, x0], 0.0)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # slab == full
+    vol1 = jnp.zeros((C, *shape), jnp.float32)
+    for s in range(2):
+        vol1 = accumulate_label_views_slab(
+            vol1, jnp.asarray(probs), jnp.asarray(cams),
+            jnp.asarray(valid), jnp.asarray(origin), jnp.float32(1.0),
+            s * 4, 4, False, sample="box")
+    np.testing.assert_allclose(np.asarray(vol1), got, rtol=2e-6, atol=1e-6)
