@@ -171,6 +171,14 @@ class FusedSegmentationCarving(RomiTask):
             # artifact hold bit-identical values (host np.exp can differ
             # from the XLA exp by an ulp)
             vol = jnp.minimum(jnp.exp(vol), 1.0)
+        # settle the async pipeline HERE so per-task wall times attribute
+        # honestly: the image uploads + CNN + accumulates above are all
+        # async dispatches, and without this the first downstream
+        # consumer (PointCloud's band count) inherits this task's entire
+        # device+tunnel wait (the r4 report booked ~50 s of tunnel-bound
+        # image transfer to 'PointCloud' that way)
+        import jax
+        jax.block_until_ready(vol)
         outfile = self.output_file()
         # downstream tasks (PointCloud, evaluation) get the volumes
         # device-resident; the NPZ pull + deflate rides the writer thread
