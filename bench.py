@@ -231,7 +231,10 @@ def run_bench(packed, cams, hw, origin, metric, caps=(8192, 16384),
 
 def _argval(flag, default):
     if flag in sys.argv:
-        return sys.argv[sys.argv.index(flag) + 1]
+        i = sys.argv.index(flag) + 1
+        if i >= len(sys.argv):
+            raise SystemExit(f"{flag} needs a value")
+        return sys.argv[i]
     return default
 
 
@@ -281,7 +284,7 @@ def main():
     else:
         packed, cams, hw, origin = build_workload()
         run_bench(packed, cams, hw, origin, "carve_throughput",
-                  engine=engine)
+                  engine=engine, min_seen=int(_argval("--min-seen", "1")))
 
 
 if __name__ == "__main__":

@@ -105,6 +105,12 @@ def load_torch_model(state_dict, config: dict):
     has_bn = any(k.endswith(".running_mean") for k in state_dict)
     cfg = dict(config)
     if has_bn:
+        if cfg.get("arch", "resunet") != "resunet":
+            raise ValueError(
+                "BatchNorm folding targets the ResUNet norm='affine' "
+                f"variant; arch={cfg.get('arch')!r} has no affine norm "
+                "slot (folded stats would land in GroupNorm params and "
+                "be re-normalized at apply time)")
         cfg["norm"] = "affine"
     model = model_from_config(cfg)
     # real init, NOT jax.eval_shape — and no jax.tree.map afterwards:
@@ -114,6 +120,7 @@ def load_torch_model(state_dict, config: dict):
     template = model.init(jax.random.PRNGKey(0),
                           jnp.zeros((1, 32, 32, 3), jnp.float32))
     params = convert_torch_state_dict(state_dict, template, fold_bn=has_bn)
+    params = _upcast_f16(params)   # same contract as the NPZ loader
     return model, params, cfg
 
 

@@ -315,6 +315,12 @@ class Backprojection:
         cams = np.stack(self._pending_cams)
         valid = np.ones(len(masks), dtype=bool)
         if self.type == "carving":
+            if (self.engine == "sharded" and self.kill_tolerance > 0
+                    and self._n_devices() > 1):
+                logger.warning(
+                    "Backprojection: engine='sharded' has no "
+                    "kill-tolerance lane — vote carving runs "
+                    "single-device (count_kills)")
             if self.kill_tolerance > 0:
                 # vote carve: accumulate per-voxel dissent COUNTS so the
                 # tolerance applies across flush batches, not per batch
@@ -390,7 +396,7 @@ class Backprojection:
             # (reference degrades with a memory warning, never a crash —
             # cl.py:154-158; VERDICT r3 #2)
             chunked = int(np.prod(self.shape)) > _avg_chunk_voxels()
-            nz = np.unique(masks)
+            nz = np.empty(0) if vol is not None else np.unique(masks)
             nz = nz[nz != 0]
             if vol is None and len(nz) <= 1:
                 from .averaging_tiled import (average_tiled,

@@ -468,7 +468,7 @@ def carve_fused_vb(masks, cameras, valid, origin, voxel_size, shape,
             from ..parallel.carving_mp import carve_fused
             return carve_fused(masks, cameras, valid, origin, voxel_size,
                                shape, packed=packed, hw=(H, W), out=out,
-                               fine_tiles=False)
+                               fine_tiles=False, min_seen=min_seen)
         if (und <= np.asarray(caps[:len(und)])).all():
             _GOOD_CAPS[key] = tuple(caps)
             if out == "alive":

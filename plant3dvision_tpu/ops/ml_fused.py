@@ -55,8 +55,13 @@ def _accumulate_core(vol, probs, cams, valid, origin, voxel_size, shape,
         flat = jnp.log(EPS + flat)
 
     if sample == "box":
+        # OpenCL texel centers sit at i+0.5, so a LINEAR read at integer
+        # coordinate ix lands half-way between texels ix-1 and ix: the
+        # box window is {ix-1, ix} x {iy-1, iy} (edge-clamped), NOT
+        # {ix, ix+1} (reference kernels/backprojection.c:36-55 samples
+        # read_imagef at the integer projection)
         img = flat.reshape(B, C, H, W)
-        pf = jnp.pad(img, ((0, 0), (0, 0), (0, 1), (0, 1)), mode="edge")
+        pf = jnp.pad(img, ((0, 0), (0, 0), (1, 0), (1, 0)), mode="edge")
         img = 0.25 * (pf[:, :, :H, :W] + pf[:, :, :H, 1:W + 1]
                       + pf[:, :, 1:H + 1, :W] + pf[:, :, 1:H + 1, 1:W + 1])
         flat = img.reshape(B, C, H * W)

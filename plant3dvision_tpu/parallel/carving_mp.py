@@ -650,7 +650,7 @@ _GOOD_CAPS: dict = {}
 
 def carve_fused(masks, cameras, valid, origin, voxel_size, shape,
                 caps=(8192, 32768), packed=None, hw=None, out="int8",
-                slot_caps=None, fine_tiles=True):
+                slot_caps=None, fine_tiles=True, min_seen=1):
     """One-shot fused single-chip carve with automatic cap retry.
 
     Drop-in replacement for ops.carving_hier.carve_hierarchical (verified
@@ -673,7 +673,8 @@ def carve_fused(masks, cameras, valid, origin, voxel_size, shape,
     slots = list(slot_caps) if slot_caps else None
     tiles_on = bool(fine_tiles)
     key = (int(packed.shape[0]), H, W, tuple(shape), out,
-           tuple(caps), tuple(slots) if slots else None, tiles_on)
+           tuple(caps), tuple(slots) if slots else None, tiles_on,
+           min_seen)
     good = _GOOD_CAPS.get(key)
     if good is not None:
         caps, slots, tiles_on = list(good[0]), (
@@ -682,7 +683,7 @@ def carve_fused(masks, cameras, valid, origin, voxel_size, shape,
         fn = make_fused_carver(H, W, tuple(shape), caps=tuple(caps),
                                packed_output=(out == "alive"),
                                slot_caps=tuple(slots) if slots else None,
-                               fine_tiles=tiles_on)
+                               fine_tiles=tiles_on, min_seen=min_seen)
         vol, counts = fn(packed, cameras, valid, origin,
                          jnp.float32(voxel_size))
         counts = np.asarray(counts)

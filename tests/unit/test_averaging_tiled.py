@@ -215,8 +215,9 @@ def test_accumulate_label_views_box_mode():
         vol0, jnp.asarray(probs), jnp.asarray(cams), jnp.asarray(valid),
         jnp.asarray(origin), jnp.float32(1.0), shape, False, sample="box"))
 
-    # oracle: edge-padded 2x2 box prefilter, nearest tap at floor(p)
-    pf = np.pad(probs, ((0, 0), (0, 0), (0, 1), (0, 1)), mode="edge")
+    # oracle: the OpenCL LINEAR-at-integer window {ix-1, ix} x
+    # {iy-1, iy} (texel centers at i+0.5), edge-clamped
+    pf = np.pad(probs, ((0, 0), (0, 0), (1, 0), (1, 0)), mode="edge")
     pre = 0.25 * (pf[:, :, :H, :W] + pf[:, :, :H, 1:] +
                   pf[:, :, 1:, :W] + pf[:, :, 1:, 1:])
     want = np.zeros((C, *shape), np.float32)
