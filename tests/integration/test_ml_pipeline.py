@@ -262,3 +262,69 @@ def test_fused_carving_slab_lane_matches(ml_db, monkeypatch):
     for label in LABELS:
         np.testing.assert_allclose(full[label], chunked[label],
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_segmentation2d_runs_torch_bn_checkpoint(ml_db):
+    """VERDICT r4 #4 end-to-end: the Segmentation2D TASK serves a torch
+    `.pt` checkpoint WITH BatchNorm running stats (the reference's
+    published-model format, tasks/proc2d.py:336-351): the loader folds
+    the stats into a norm='affine' ResUNet and the task writes one mask
+    per image x label."""
+    import torch
+    from io import BytesIO
+    from flax.traverse_util import flatten_dict
+
+    from plant3dvision_tpu.models.unet import ResUNet
+
+    scan = ml_db.get_scan("synthetic_ml")
+    model = ResUNet(n_classes=len(LABELS), widths=(8, 16),
+                    blocks_per_stage=1, norm="affine")
+    template = model.init(jax.random.PRNGKey(4),
+                          jax.numpy.zeros((1, 32, 32, 3)))
+    rng = np.random.default_rng(9)
+    sd = {}
+    for i, (k, v) in enumerate(flatten_dict(template, sep="/").items()):
+        v = np.asarray(v)
+        leaf = k.rsplit("/", 1)[-1]
+        if "ChannelAffine" in k and leaf == "bias":
+            continue
+        if "ChannelAffine" in k:   # scale leaf -> synthetic BN quadruple
+            C = v.shape[0]
+            sd[f"m{i}.weight"] = rng.random(C).astype(np.float32) + 0.5
+            sd[f"m{i}.bias"] = rng.standard_normal(C).astype(np.float32)
+            sd[f"m{i}.running_mean"] = rng.standard_normal(C).astype(
+                np.float32)
+            sd[f"m{i}.running_var"] = rng.random(C).astype(np.float32) + 0.3
+            sd[f"m{i}.num_batches_tracked"] = np.int64(3)
+        elif v.ndim == 4:
+            sd[f"m{i}.weight"] = np.transpose(
+                rng.standard_normal(v.shape).astype(np.float32) * 0.1,
+                (3, 2, 0, 1))
+        else:
+            key = f"m{i}.bias" if leaf == "bias" else f"m{i}.weight"
+            sd[key] = rng.standard_normal(v.shape).astype(np.float32) * 0.1
+
+    buf = BytesIO()
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               buf)
+    mfs = scan.get_fileset("models", create=True)
+    f = mfs.get_file("torch_bn", create=True)
+    f.write_raw(buf.getvalue(), "pt")
+    f.set_metadata("label_names", LABELS)
+    f.set_metadata("model_config", {"label_names": LABELS,
+                                    "widths": [8, 16],
+                                    "blocks_per_stage": 1})
+
+    cfg = load_toml(CONFIG)
+    cfg["Segmentation2D"] = dict(cfg["Segmentation2D"],
+                                 model_id="torch_bn", binarize=False)
+    ctx = RunContext(ml_db, "synthetic_ml", cfg)
+    run_task(ctx, "Segmentation2D", report=False)
+    fs = ctx.scan.get_fileset(ctx.get_task("Segmentation2D").task_id())
+    files = fs.get_files()
+    n_rgb = len(scan.get_fileset("images").get_files())
+    assert len(files) == n_rgb * len(LABELS)
+    channels = {f.get_metadata("channel") for f in files}
+    assert channels == set(LABELS)
+    probs = io.read_image(files[0])
+    assert probs.shape == (256, 256)
