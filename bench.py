@@ -218,12 +218,42 @@ def run_bench(packed, cams, hw, origin, metric, caps=(8192, 16384),
     dt = min(times)
 
     mvvs = tests / dt / 1e6
+
+    # PIPELINED rate: depth-2 dispatch (enqueue carve i+1 before pulling
+    # carve i) — the per-carve result pull rides under the next carve's
+    # device time, exactly how production pipelines consume repeated
+    # carves (FusedCarving overlap_groups). Reported alongside; the
+    # headline stays the sequential protocol for cross-round
+    # comparability.
+    NP_ = 6
+
+    def _decode(buf):
+        counts = buf[:N_COUNTS * 4].view(np.int32)
+        n = int(buf[N_COUNTS * 4:HDR].view(np.int32)[0])
+        bitmap = np.unpackbits(buf[HDR:HDR + NBM])[:NBLK]
+        full = np.zeros((NBLK, BS), np.uint8)
+        full[np.flatnonzero(bitmap)] = buf[HDR + NBM:].reshape(CAP, BS)[:n]
+        return np.unpackbits(full.reshape(-1)[:PB])
+
+    t0 = time.perf_counter()
+    pending = None
+    for _ in range(NP_):
+        nxt = carve_combined(packed, cams_j, valid_j, origin_j,
+                             jnp.float32(VOXEL_SIZE))
+        if pending is not None:
+            _decode(np.asarray(pending))
+        pending = nxt
+    _decode(np.asarray(pending))
+    dt_p = (time.perf_counter() - t0) / NP_
+    pipelined_mvvs = tests / dt_p / 1e6
+
     print(json.dumps({
         "metric": metric,
         "value": round(mvvs, 1),
         "unit": "Mvoxel-view/s",
         "vs_baseline": round(mvvs / BASELINE_MVVS, 2),
         "device_only_mvvs": round(device_mvvs, 1),
+        "pipelined_mvvs": round(pipelined_mvvs, 1),
         "protocol_passes_s": [round(t, 4) for t in times],
     }))
     return mvvs, int(bits.sum())
